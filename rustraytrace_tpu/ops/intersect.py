@@ -1,0 +1,264 @@
+"""Batched ray-primitive intersection (closest hit) over SoA scenes.
+
+TPU-first re-design of the reference's ``Hittable::hit`` trait dispatch
+(``src/books/*/hittable.rs``): instead of per-object virtual calls, every ray
+tests every primitive of a class with broadcast vector ops ([R, N] arrays on
+the VPU), classes are merged by running-minimum, and the winning primitive's
+hit record is built with one gather per field.  This is the same brute-force
+strategy as the reference's GPU megakernel (``hit_spheres``,
+``src/gpu/renderer.wgsl:108-155``) generalized to quads and constant media.
+
+Semantics pinned to the reference's f32 (GPU) path: shadow-acne epsilon
+t_min = 1e-3, horizon t_max = 1e9 (renderer.wgsl:185), quadric in the
+``h = dot(d, oc)`` form (sphere.rs:25-51, renderer.wgsl:122-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..scene import Scene
+
+T_MIN = 1.0e-3
+T_MAX = 1.0e9
+_PI = 3.14159265358979
+
+# class tags for the merged winner
+CLS_NONE = 0
+CLS_SPHERE = 1
+CLS_QUAD = 2
+CLS_MEDIUM = 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HitRecord:
+    """Per-ray hit record (reference HitRecord, the_next_week/hittable.rs:15-23)."""
+
+    valid: jnp.ndarray  # [R] bool — any hit at all
+    t: jnp.ndarray  # [R]
+    p: jnp.ndarray  # [R,3]
+    normal: jnp.ndarray  # [R,3] face-corrected unit normal
+    front_face: jnp.ndarray  # [R] bool
+    mat: jnp.ndarray  # [R] i32
+    u: jnp.ndarray  # [R]
+    v: jnp.ndarray  # [R]
+
+
+def sphere_roots(o, d, center, radius):
+    """Both quadratic roots (t_near, t_far, has_roots) for sphere batches.
+
+    o, d: [R,3]; center: [R,N,3] or broadcastable; radius: [N] or [R,N].
+    Returns [R,N] arrays. Uses the half-b form of sphere.rs:69-82.
+    """
+    oc = center - o[:, None, :]  # [R,N,3]
+    a = jnp.sum(d * d, axis=-1)[:, None]  # [R,1]
+    h = jnp.sum(d[:, None, :] * oc, axis=-1)  # [R,N]
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = h * h - a * c
+    has = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = (h - sqrtd) / a
+    t_far = (h + sqrtd) / a
+    return t_near, t_far, has
+
+
+def hit_spheres(o, d, time, scene: Scene, t_min, t_max):
+    """Closest sphere hit: returns (t [R], idx [R], any [R])."""
+    center = scene.sph_center[None, :, :] + time[:, None, None] * scene.sph_cvel[None, :, :]
+    t_near, t_far, has = sphere_roots(o, d, center, scene.sph_radius[None, :])
+    # near root if within (t_min, t_max), else far root (sphere.rs:83-89)
+    near_ok = (t_near > t_min[:, None]) & (t_near < t_max[:, None])
+    root = jnp.where(near_ok, t_near, t_far)
+    ok = has & (root > t_min[:, None]) & (root < t_max[:, None])
+    ok = ok & (scene.sph_mask[None, :] > 0)
+    t = jnp.where(ok, root, T_MAX)
+    idx = jnp.argmin(t, axis=-1)
+    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    return tbest, idx.astype(jnp.int32), jnp.any(ok, axis=-1)
+
+
+def hit_quads(o, d, scene: Scene, t_min, t_max):
+    """Closest quad hit: (t [R], idx [R], any [R]); quad.rs:64-87."""
+    w, normal, dplane, _ = scene.quad_frames()
+    denom = jnp.sum(normal[None, :, :] * d[:, None, :], axis=-1)  # [R,Q]
+    safe_denom = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+    t = (dplane[None, :] - jnp.sum(normal[None, :, :] * o[:, None, :], axis=-1)) / safe_denom
+    p = o[:, None, :] + t[..., None] * d[:, None, :]  # [R,Q,3]
+    rel = p - scene.quad_q[None, :, :]
+    alpha = jnp.sum(w[None, :, :] * jnp.cross(rel, scene.quad_v[None, :, :]), axis=-1)
+    beta = jnp.sum(w[None, :, :] * jnp.cross(scene.quad_u[None, :, :], rel), axis=-1)
+    interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+    ok = (
+        (jnp.abs(denom) >= 1e-8)
+        & (t >= t_min[:, None])
+        & (t <= t_max[:, None])
+        & interior
+        & (scene.quad_mask[None, :] > 0)
+    )
+    tq = jnp.where(ok, t, T_MAX)
+    idx = jnp.argmin(tq, axis=-1)
+    tbest = jnp.take_along_axis(tq, idx[:, None], axis=-1)[:, 0]
+    return tbest, idx.astype(jnp.int32), jnp.any(ok, axis=-1)
+
+
+def _medium_freeflight(t1, t2, inside_ok, neg_inv_density, dir_len, u, t_min, t_best):
+    """Shared constant-medium free-flight sampling (constant_medium.rs:40-79).
+
+    t1/t2: boundary entry/exit roots over (-inf, inf). Returns (t_hit, hit).
+    """
+    t1c = jnp.maximum(t1, t_min)
+    t2c = jnp.minimum(t2, t_best)
+    ok = inside_ok & (t1c < t2c)
+    t1c = jnp.maximum(t1c, 0.0)
+    distance_inside = (t2c - t1c) * dir_len
+    # ln(U) with U in (0,1]; clamp to avoid log(0) = -inf * neg -> +inf (miss)
+    hit_distance = neg_inv_density * jnp.log(jnp.maximum(u, 1e-12))
+    ok = ok & (hit_distance <= distance_inside)
+    t_hit = t1c + hit_distance / dir_len
+    return jnp.where(ok, t_hit, T_MAX), ok
+
+
+def hit_media(o, d, scene: Scene, t_min, t_best, u_media):
+    """Stochastic constant-medium hits, processed sequentially so each medium's
+    sampling window is clipped by the running closest hit, mirroring the
+    reference's ordered HittableList scan (hittable_list.rs:42-54).
+
+    u_media: [R, K+B] uniforms. Returns (t [R], mat [R], hit [R]).
+    """
+    R = o.shape[0]
+    dir_len = jnp.linalg.norm(d, axis=-1)
+    t = jnp.full((R,), T_MAX, o.dtype)
+    mat = jnp.zeros((R,), jnp.int32)
+    hit = jnp.zeros((R,), bool)
+    t_run = t_best
+
+    K = scene.msph_center.shape[0]
+    B = scene.mbox_cos.shape[0]
+    col = 0
+    for k in range(K):
+        center = scene.msph_center[k][None, None, :]
+        radius = scene.msph_radius[k][None, None]
+        t_near, t_far, has = sphere_roots(o, d, jnp.broadcast_to(center, (R, 1, 3)), radius)
+        th, ok = _medium_freeflight(
+            t_near[:, 0], t_far[:, 0], has[:, 0] & (scene.msph_mask[k] > 0),
+            scene.msph_neg_inv_density[k], dir_len, u_media[:, col], t_min, t_run,
+        )
+        take = ok & (th < t_run)
+        t = jnp.where(take, th, t)
+        mat = jnp.where(take, scene.msph_mat[k], mat)
+        hit = hit | take
+        t_run = jnp.minimum(t_run, t)
+        col += 1
+
+    for b in range(B):
+        # world -> local: subtract offset, rotate by -theta about Y
+        # (Translate: hittable.rs:87-93; RotateY: hittable.rs:143-156)
+        c, s = scene.mbox_cos[b], scene.mbox_sin[b]
+        ox = c * (o[:, 0] - scene.mbox_offset[b, 0]) - s * (o[:, 2] - scene.mbox_offset[b, 2])
+        oy = o[:, 1] - scene.mbox_offset[b, 1]
+        oz = s * (o[:, 0] - scene.mbox_offset[b, 0]) + c * (o[:, 2] - scene.mbox_offset[b, 2])
+        dx = c * d[:, 0] - s * d[:, 2]
+        dy = d[:, 1]
+        dz = s * d[:, 0] + c * d[:, 2]
+        lo = scene.mbox_lo[b]
+        hi = scene.mbox_hi[b]
+        ol = jnp.stack([ox, oy, oz], axis=-1)
+        dl = jnp.stack([dx, dy, dz], axis=-1)
+        inv = 1.0 / dl
+        ta = (lo[None, :] - ol) * inv
+        tb = (hi[None, :] - ol) * inv
+        t1 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        t2 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        inside = (t1 < t2) & (scene.mbox_mask[b] > 0)
+        th, ok = _medium_freeflight(
+            t1, t2, inside, scene.mbox_neg_inv_density[b],
+            dir_len, u_media[:, col], t_min, t_run,
+        )
+        take = ok & (th < t_run)
+        t = jnp.where(take, th, t)
+        mat = jnp.where(take, scene.mbox_mat[b], mat)
+        hit = hit | take
+        t_run = jnp.minimum(t_run, t)
+        col += 1
+
+    return t, mat, hit
+
+
+def sphere_uv(outward: jnp.ndarray):
+    """Spherical UV from the outward unit normal (sphere.rs:47-53)."""
+    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + _PI
+    return phi / (2.0 * _PI), theta / _PI
+
+
+def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> HitRecord:
+    """Full-scene closest hit over all primitive classes.
+
+    o, d: [R,3]; time: [R]; u_media: [R, n_media] uniforms for free-flight
+    sampling. Returns a HitRecord.
+    """
+    R = o.shape[0]
+    dt = o.dtype
+    if t_min is None:
+        t_min = jnp.full((R,), T_MIN, dt)
+    if t_max is None:
+        t_max = jnp.full((R,), T_MAX, dt)
+
+    ts, is_, anys = hit_spheres(o, d, time, scene, t_min, t_max)
+    tq, iq, anyq = hit_quads(o, d, scene, t_min, t_max)
+
+    t_geo = jnp.where(anys, ts, T_MAX)
+    cls = jnp.where(anys, CLS_SPHERE, CLS_NONE)
+    better_q = anyq & (tq < t_geo)
+    t_geo = jnp.where(better_q, tq, t_geo)
+    cls = jnp.where(better_q, CLS_QUAD, cls)
+
+    tm, mmat, anym = hit_media(o, d, scene, t_min, t_geo, u_media)
+    better_m = anym & (tm < t_geo)
+    t = jnp.where(better_m, tm, t_geo)
+    cls = jnp.where(better_m, CLS_MEDIUM, cls)
+
+    valid = cls != CLS_NONE
+    t_safe = jnp.where(valid, t, 1.0)
+    p = o + t_safe[:, None] * d
+
+    # --- sphere record (gather winning sphere) ---
+    ctr = scene.sph_center[is_] + time[:, None] * scene.sph_cvel[is_]
+    rad = scene.sph_radius[is_]
+    outward_s = (p - ctr) / jnp.maximum(rad, 1e-30)[:, None]
+    us, vs = sphere_uv(outward_s)
+    mat_s = scene.sph_mat[is_]
+
+    # --- quad record ---
+    w_all, n_all, _, _ = scene.quad_frames()
+    qn = n_all[iq]
+    qw = w_all[iq]
+    qq = scene.quad_q[iq]
+    rel = p - qq
+    uq = jnp.sum(qw * jnp.cross(rel, scene.quad_v[iq]), axis=-1)
+    vq = jnp.sum(qw * jnp.cross(scene.quad_u[iq], rel), axis=-1)
+    mat_q = scene.quad_mat[iq]
+
+    is_sphere = cls == CLS_SPHERE
+    is_quad = cls == CLS_QUAD
+    is_medium = cls == CLS_MEDIUM
+
+    outward = jnp.where(is_sphere[:, None], outward_s, qn)
+    outward = jnp.where(is_medium[:, None],
+                        jnp.asarray([1.0, 0.0, 0.0], dt)[None, :], outward)
+    # set_face_normal (hittable.rs:48-51); media always front_face=true with
+    # fixed normal (constant_medium.rs:70-78)
+    front = jnp.sum(d * outward, axis=-1) < 0.0
+    front = jnp.where(is_medium, True, front)
+    normal = jnp.where(front[:, None], outward, -outward)
+
+    mat = jnp.where(is_sphere, mat_s, jnp.where(is_quad, mat_q, mmat))
+    u = jnp.where(is_sphere, us, jnp.where(is_quad, uq, 0.0))
+    v = jnp.where(is_sphere, vs, jnp.where(is_quad, vq, 0.0))
+
+    return HitRecord(valid=valid, t=t, p=p, normal=normal, front_face=front,
+                     mat=mat, u=u, v=v)

@@ -1,0 +1,147 @@
+"""Render orchestration: pass loop, ray chunking, accumulation, finalize.
+
+This is the TPU analog of the reference's host-side pass loops: CPU rayon
+scanlines (src/books/*/camera.rs:59-100), the wgpu 64-spp pass loop
+(src/gpu/mod.rs:444-481), and the CUDA 256-spp pass loop
+(src/cuda/mod.rs:403-432).  One jit-compiled ``render_pass`` traces
+``spp_per_pass`` samples for every pixel; the host loop accumulates
+(RGB-sum, sample-count) exactly like the reference's vec4 accumulation buffer
+(renderer.wgsl:295-297, render_io.rs:3-31), so any pass boundary is a
+checkpoint/resume point.
+
+Rays are traced in fixed-size chunks (a ``lax.scan`` over chunk index with a
+flat accumulator carry) so the [rays x primitives] intersection broadcasts
+stay within HBM budget at 4K.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import generate_rays
+from .config import CameraParams, RenderConfig, derive_camera
+from .ops.integrator import IntegratorOptions, n_media, trace_mis, trace_path
+from .scene import Scene
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "integrator",
+                     "chunk", "stratified", "sqrt_spp"),
+)
+def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
+                width: int, height: int, spp: int, max_depth: int,
+                integrator: str = "path", chunk: int = 65536,
+                stratified: bool = False, sqrt_spp: int = 0,
+                sample_offset: jnp.ndarray | int = 0) -> jnp.ndarray:
+    """Trace ``spp`` samples/pixel; returns the RGB radiance SUM [H, W, 3].
+
+    ``sample_offset`` shifts the per-sample RNG stream (for multi-pass and
+    spp-sharded accumulation); stratification indexes the sqrt_spp x sqrt_spp
+    sub-pixel grid by absolute sample index (camera.rs:173-177, book 3).
+    """
+    n_pix = width * height
+    n_pad = _ceil_to(n_pix, chunk)
+    n_chunks = n_pad // chunk
+    dt = jnp.float32
+
+    pix = jnp.arange(n_pad, dtype=jnp.int32)
+    px_all = (pix % width).astype(dt)
+    py_all = jnp.minimum(pix // width, height - 1).astype(dt)
+
+    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode)
+    trace = trace_mis if integrator == "mis" else trace_path
+
+    def trace_unit(key_s, s_idx, c_idx, accum):
+        start = c_idx * chunk
+        px = jax.lax.dynamic_slice(px_all, (start,), (chunk,))
+        py = jax.lax.dynamic_slice(py_all, (start,), (chunk,))
+
+        kc = jax.random.fold_in(key_s, c_idx)
+        k_cam, k_path = jax.random.split(kc)
+        cam_draws = jax.random.uniform(k_cam, (chunk, 5), dtype=dt)
+        if stratified:
+            s_i = (s_idx % sqrt_spp).astype(dt)
+            s_j = (s_idx // sqrt_spp).astype(dt)
+            strat = (s_i, s_j, float(sqrt_spp))
+        else:
+            strat = None
+        o, d, time = generate_rays(cam, px, py, cam_draws, strat)
+        radiance = trace(k_path, o, d, time, scene, cam.background, opts)
+        cur = jax.lax.dynamic_slice(accum, (start, 0), (chunk, 3))
+        return jax.lax.dynamic_update_slice(accum, cur + radiance, (start, 0))
+
+    def sample_body(s, accum):
+        s_idx = s + sample_offset
+        key_s = jax.random.fold_in(key, s_idx)
+
+        def chunk_body(c, acc):
+            return trace_unit(key_s, s_idx, c, acc)
+
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, accum)
+
+    accum = jnp.zeros((n_pad, 3), dt)
+    accum = jax.lax.fori_loop(0, spp, sample_body, accum)
+    return accum[:n_pix].reshape(height, width, 3)
+
+
+def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
+    """(sum, count) -> 8-bit image; exactly render_io.rs:8-27: non-finite -> 0,
+    divide by spp, gamma-2 sqrt, clamp to 0.999, scale by 256."""
+    img = np.asarray(accum_sum, np.float32)
+    scale = 1.0 / spp_total if spp_total > 0 else 0.0
+    img = img * scale
+    img = np.where(np.isfinite(img), img, 0.0)
+    img = np.sqrt(np.maximum(img, 0.0))
+    return (np.clip(img, 0.0, 0.999) * 256.0).astype(np.uint8)
+
+
+def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
+                 chunk: int = 65536, progress=None,
+                 accum_state: Optional[dict] = None):
+    """Full render: host pass loop over spp mega-batches.
+
+    Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
+    call resumes accumulation (checkpoint/resume; SURVEY.md §5).
+    """
+    cam = derive_camera(cfg)
+    h, w = cfg.image_height, cfg.image_width
+
+    stratified = cfg.stratified
+    sqrt_spp = int(np.sqrt(cfg.samples_per_pixel)) if stratified else 0
+    spp_total = sqrt_spp * sqrt_spp if stratified else cfg.samples_per_pixel
+
+    if accum_state is None:
+        accum = jnp.zeros((h, w, 3), jnp.float32)
+        done = 0
+    else:
+        accum = jnp.asarray(accum_state["accum"])
+        done = int(accum_state["spp_done"])
+
+    key = jax.random.key(cfg.seed)
+    chunk = min(chunk, _ceil_to(h * w, 256))
+
+    while done < spp_total:
+        this = min(cfg.spp_per_pass, spp_total - done)
+        accum = accum + render_pass(
+            scene, cam, key,
+            width=w, height=h, spp=this, max_depth=cfg.max_depth,
+            integrator=integrator, chunk=chunk,
+            stratified=stratified, sqrt_spp=sqrt_spp,
+            sample_offset=done,
+        )
+        done += this
+        if progress is not None:
+            progress(done, spp_total)
+
+    accum_np = np.asarray(accum)
+    return finalize_image(accum_np, done), {"accum": accum_np, "spp_done": done}
