@@ -1,0 +1,78 @@
+"""Headline benchmark: paths/sec on the Book-1 random-spheres flagship scene.
+
+Scene: the reference's headline workload (~484-sphere random field,
+``src/books/in_one_weekend/mod.rs:57-126``) at 1200x675 — BASELINE config 2.
+Metric: completed pixel samples per second ("paths/s"; each sample is a full
+camera path with Russian-roulette-truncated bounces, max depth 50).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+against the self-defined anchor BASELINE_PATHS_PER_SEC — an order-of-magnitude
+estimate of the reference's multi-core rayon CPU backend on this scene
+(Book-1 final scene at 1200x675/10spp/depth20 takes minutes on desktop CPUs,
+i.e. O(1e5..1e6) samples/s; anchor fixed at 1e6 so rounds are comparable).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_SPP (default 64), BENCH_WIDTH (default 1200),
+BENCH_DEPTH (default 50), BENCH_CHUNK (default 131072).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+BASELINE_PATHS_PER_SEC = 1.0e6
+
+
+def main():
+    import jax
+
+    from rustraytrace_tpu import models
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.render import render_pass
+
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    width = int(os.environ.get("BENCH_WIDTH", "1200"))
+    depth = int(os.environ.get("BENCH_DEPTH", "50"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "131072"))
+
+    scene, cfg, _ = models.book1_random_spheres(
+        dict(image_width=width, samples_per_pixel=spp, max_depth=depth)
+    )
+    cam = derive_camera(cfg)
+    w, h = cfg.image_width, cfg.image_height
+    key = jax.random.key(0)
+
+    kw = dict(width=w, height=h, max_depth=depth, integrator="path",
+              chunk=min(chunk, w * h))
+
+    import numpy as np
+
+    # compile + warmup with 1 spp (jit cache keyed on spp: compile the real
+    # shape too, with an untimed run).  NOTE: under the axon TPU tunnel
+    # block_until_ready returns immediately; np.asarray (device->host copy)
+    # is the only reliable completion fence, so all timing uses it.
+    np.asarray(render_pass(scene, cam, key, spp=1, **kw))
+    np.asarray(render_pass(scene, cam, key, spp=spp, **kw))
+
+    t0 = time.perf_counter()
+    accum = render_pass(scene, cam, key, spp=spp, **kw)
+    np.asarray(accum)
+    elapsed = time.perf_counter() - t0
+
+    paths = w * h * spp
+    pps = paths / elapsed
+    print(json.dumps({
+        "metric": "paths_per_sec",
+        "value": round(pps, 1),
+        "unit": "paths/s",
+        "vs_baseline": round(pps / BASELINE_PATHS_PER_SEC, 3),
+    }))
+    print(f"# {paths} paths in {elapsed:.2f}s on {jax.devices()[0].platform} "
+          f"({w}x{h} @ {spp}spp depth {depth})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

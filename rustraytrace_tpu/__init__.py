@@ -33,6 +33,8 @@ from .scene import (
 )
 from .render import render_image, render_pass, finalize_image
 from . import models
+from . import parallel
+from . import diff
 
 __all__ = [
     "RenderConfig",
@@ -49,6 +51,8 @@ __all__ = [
     "render_pass",
     "finalize_image",
     "models",
+    "parallel",
+    "diff",
 ]
 
 __version__ = "0.1.0"

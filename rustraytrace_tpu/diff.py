@@ -1,0 +1,144 @@
+"""Differentiable rendering and inverse rendering (BASELINE config 4).
+
+The reference has no differentiability anywhere — it is a forward renderer.
+This module is the capability the TPU re-design adds for free by being
+functional JAX end-to-end: the SoA ``Scene`` pytree (sphere centers, radii,
+albedo/texture colors, fuzz, IOR, emission) IS the parameter vector, and the
+scan-based sharded render pass (``parallel.render.render_pass_sharded``) is
+reverse-mode differentiable with per-sample rematerialization.
+
+Gradient semantics (SURVEY.md §7 "unbiased differentiability"):
+* discrete sampling decisions (Russian-roulette survival, dielectric
+  reflect/refract choice, light picking, RR probability) are DETACHED —
+  ``stop_gradient`` inside the integrator keeps the estimator's expectation
+  differentiable through the continuous factors only;
+* gradients flow through hit points, normals, attenuations, Schlick, and
+  texture lookups.
+
+``fit`` runs Adam over any named subset of Scene arrays against a target
+image — the "recover sphere centers/albedos/IOR from a target" benchmark.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from .config import CameraParams, RenderConfig, derive_camera
+from .parallel.mesh import make_mesh
+from .parallel.render import render_pass_sharded, spp_traced
+from .scene import Scene
+
+
+def render_mean(scene: Scene, cam: CameraParams, key: jax.Array, *,
+                width: int, height: int, spp: int, max_depth: int,
+                mesh: Mesh, integrator: str = "path",
+                chunk: int = 65536) -> jnp.ndarray:
+    """Differentiable MEAN-radiance render [H, W, 3] (linear space)."""
+    total = spp_traced(spp, mesh)
+    acc = render_pass_sharded(
+        scene, cam, key, width=width, height=height, spp=spp,
+        max_depth=max_depth, mesh=mesh, integrator=integrator, chunk=chunk,
+        remat=True,
+    )
+    return acc / total
+
+
+def image_loss(scene: Scene, target: jnp.ndarray, cam: CameraParams,
+               key: jax.Array, **render_kw) -> jnp.ndarray:
+    """Mean squared error between the linear-radiance render and target."""
+    img = render_mean(scene, cam, key, **render_kw)
+    return jnp.mean((img - target) ** 2)
+
+
+def extract_params(scene: Scene, names: Sequence[str]) -> Dict[str, jnp.ndarray]:
+    return {n: getattr(scene, n) for n in names}
+
+
+def apply_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
+    return dataclasses.replace(scene, **params)
+
+
+def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
+        cfg: RenderConfig, *, steps: int = 100, learning_rate: float = 1e-2,
+        mesh: Optional[Mesh] = None, integrator: str = "path",
+        spp: int = 4, chunk: int = 65536, progress=None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        ) -> Tuple[Scene, list]:
+    """Gradient-descent recovery of scene parameters from a target image.
+
+    Returns (fitted scene, per-step loss history). Each step uses a fresh
+    RNG key (new MC sample set) — stochastic gradient descent over renders.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    cam = derive_camera(cfg)
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    params = extract_params(scene, param_names)
+    opt_state = opt.init(params)
+    target = jnp.asarray(target, jnp.float32)
+
+    render_kw = dict(
+        width=cfg.image_width, height=cfg.image_height, spp=spp,
+        max_depth=cfg.max_depth, mesh=mesh, integrator=integrator,
+        chunk=chunk,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            return image_loss(apply_params(scene, p), target, cam, key,
+                              **render_kw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.key(cfg.seed + 1)
+    history = []
+    for step in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+        history.append(float(loss))
+        if progress is not None:
+            progress(step, history[-1])
+    return apply_params(scene, params), history
+
+
+def make_train_step(scene: Scene, param_names: Sequence[str],
+                    target: jnp.ndarray, cfg: RenderConfig, *, mesh: Mesh,
+                    integrator: str = "path", spp: int = 4,
+                    learning_rate: float = 1e-2, chunk: int = 65536):
+    """Build (train_step, params0, opt_state0) for external loops.
+
+    ``train_step(params, opt_state, key) -> (params, opt_state, loss)`` is a
+    single jittable update: sharded differentiable render, psum'd gradients
+    (implicit in shard_map's backward), Adam update.  This is the "full
+    training step" the multi-chip dry-run compiles.
+    """
+    cam = derive_camera(cfg)
+    opt = optax.adam(learning_rate)
+    params = extract_params(scene, param_names)
+    opt_state = opt.init(params)
+    target = jnp.asarray(target, jnp.float32)
+    render_kw = dict(
+        width=cfg.image_width, height=cfg.image_height, spp=spp,
+        max_depth=cfg.max_depth, mesh=mesh, integrator=integrator,
+        chunk=chunk,
+    )
+
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            return image_loss(apply_params(scene, p), target, cam, key,
+                              **render_kw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step, params, opt_state

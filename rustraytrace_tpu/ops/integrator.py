@@ -96,9 +96,13 @@ def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
         new_alive = alive & rec.valid & sc.scattered
         new_atten = atten * sc.attenuation
 
-        # Russian roulette (renderer.wgsl:225-231)
+        # Russian roulette (renderer.wgsl:225-231). The survival probability
+        # is a SAMPLING decision — detached so inverse-rendering gradients
+        # stay continuous (diff.py; SURVEY.md §7 differentiability).
         rr_basis = new_atten if opts.rr_from_running_product else sc.attenuation
-        p = jnp.clip(jnp.max(rr_basis, axis=-1), RR_P_MIN, RR_P_MAX)
+        p = jax.lax.stop_gradient(
+            jnp.clip(jnp.max(rr_basis, axis=-1), RR_P_MIN, RR_P_MAX)
+        )
         do_rr = bounce >= RR_START_BOUNCE
         survive = draws[:, 3] <= p
         new_alive = new_alive & (~do_rr | survive)
@@ -247,7 +251,9 @@ def trace_mis(key: jax.Array, o, d, time, scene: Scene, background,
 
         # Russian roulette, book-3 style: p from the per-hit attenuation,
         # applied to BOTH branches (camera.rs:199-237)
-        p_rr = jnp.clip(jnp.max(sc.attenuation, axis=-1), RR_P_MIN, RR_P_MAX)
+        p_rr = jax.lax.stop_gradient(
+            jnp.clip(jnp.max(sc.attenuation, axis=-1), RR_P_MIN, RR_P_MAX)
+        )
         do_rr = bounce >= RR_START_BOUNCE
         rr_prob = jnp.where(do_rr, p_rr, 1.0)
         survive = draws[:, 3] <= rr_prob
@@ -278,7 +284,12 @@ def trace_mis(key: jax.Array, o, d, time, scene: Scene, background,
         sphere_pdf = jnp.full((R,), 1.0 / (4.0 * _PI), dt)
         mat_pdf = jnp.where(sc.is_lambertian, cosine_pdf, sphere_pdf)
         light_pdf = _light_pdf_value(rec.p, diff_dir, scene)
-        pdf_value = 0.5 * light_pdf + 0.5 * mat_pdf  # pdf.rs:88-91
+        # The mixture density is the SAMPLING pdf — detach it (the physical
+        # scattering_pdf stays differentiable), standard for reparameterized
+        # MC gradient estimators.
+        pdf_value = jax.lax.stop_gradient(
+            0.5 * light_pdf + 0.5 * mat_pdf  # pdf.rs:88-91
+        )
 
         # scattering_pdf == material pdf for lambertian/isotropic
         # (material.rs:63-70, 187-189)

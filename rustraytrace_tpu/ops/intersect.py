@@ -60,16 +60,56 @@ def sphere_roots(o, d, center, radius):
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = h * h - a * c
     has = disc > 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where so the backward pass never sees sqrt'(0)=inf on missed
+    # lanes (inf * 0-mask = NaN would poison inverse-rendering gradients)
+    sqrtd = jnp.sqrt(jnp.where(has, disc, 1.0))
+    sqrtd = jnp.where(has, sqrtd, 0.0)
     t_near = (h - sqrtd) / a
     t_far = (h + sqrtd) / a
     return t_near, t_far, has
 
 
 def hit_spheres(o, d, time, scene: Scene, t_min, t_max):
-    """Closest sphere hit: returns (t [R], idx [R], any [R])."""
-    center = scene.sph_center[None, :, :] + time[:, None, None] * scene.sph_cvel[None, :, :]
-    t_near, t_far, has = sphere_roots(o, d, center, scene.sph_radius[None, :])
+    """Closest sphere hit: returns (t [R], idx [R], any [R]).
+
+    MXU formulation: the quadric terms are expanded so the ray-x-sphere
+    coupling is four [R,3]x[3,N] matmuls (d.center, d.cvel, o.center, o.cvel)
+    plus per-ray / per-sphere diagonal terms — the [R,N,3] broadcast of the
+    naive form never materializes, and XLA tiles the contractions onto the
+    systolic array.  With cc = center + time*cvel:
+        h = d.cc - d.o
+        c = |cc|^2 - 2 o.cc + |o|^2 - r^2
+        |cc|^2 = |center|^2 + 2 time (center.cvel) + time^2 |cvel|^2
+    """
+    f32 = o.dtype
+    C = scene.sph_center  # [N,3]
+    V = scene.sph_cvel  # [N,3]
+    r = scene.sph_radius  # [N]
+
+    d_C = d @ C.T  # [R,N] — MXU
+    d_V = d @ V.T
+    o_C = o @ C.T
+    o_V = o @ V.T
+
+    C2 = jnp.sum(C * C, axis=-1)  # [N]
+    CV = jnp.sum(C * V, axis=-1)
+    V2 = jnp.sum(V * V, axis=-1)
+    o2 = jnp.sum(o * o, axis=-1)  # [R]
+    d_o = jnp.sum(d * o, axis=-1)
+    a = jnp.sum(d * d, axis=-1)  # [R]
+
+    tcol = time[:, None]
+    h = d_C + tcol * d_V - d_o[:, None]  # [R,N]
+    cc2 = C2[None, :] + 2.0 * tcol * CV[None, :] + (tcol * tcol) * V2[None, :]
+    c = cc2 - 2.0 * (o_C + tcol * o_V) + o2[:, None] - (r * r)[None, :]
+
+    disc = h * h - a[:, None] * c
+    has = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(has, disc, 1.0))
+    sqrtd = jnp.where(has, sqrtd, 0.0)
+    inv_a = 1.0 / a[:, None]
+    t_near = (h - sqrtd) * inv_a
+    t_far = (h + sqrtd) * inv_a
     # near root if within (t_min, t_max), else far root (sphere.rs:83-89)
     near_ok = (t_near > t_min[:, None]) & (t_near < t_max[:, None])
     root = jnp.where(near_ok, t_near, t_far)
@@ -189,8 +229,12 @@ def hit_media(o, d, scene: Scene, t_min, t_best, u_media):
 
 
 def sphere_uv(outward: jnp.ndarray):
-    """Spherical UV from the outward unit normal (sphere.rs:47-53)."""
-    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+    """Spherical UV from the outward unit normal (sphere.rs:47-53).
+
+    The clip stays strictly inside (-1, 1): arccos' is infinite at the poles
+    and the gathered "outward" of non-sphere lanes is arbitrary, so a hard
+    ±1 clip would emit NaN in the backward pass."""
+    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0 + 1e-12, 1.0 - 1e-12))
     phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + _PI
     return phi / (2.0 * _PI), theta / _PI
 

@@ -40,8 +40,13 @@ def refract(uv, n, etai_over_etat):
     """vec3.rs:205-210 / renderer.wgsl:95-100."""
     cos_theta = jnp.minimum(jnp.sum(-uv * n, axis=-1, keepdims=True), 1.0)
     r_out_perp = etai_over_etat * (uv + cos_theta * n)
+    # the 1e-12 floor keeps sqrt' finite at grazing/TIR boundaries where the
+    # argument crosses 0 (backward-pass NaN guard; forward error <= 1e-6)
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1, keepdims=True))) * n
+        -jnp.sqrt(jnp.maximum(
+            jnp.abs(1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1, keepdims=True)),
+            1e-12,
+        )) * n
     )
     return r_out_perp + r_out_parallel
 

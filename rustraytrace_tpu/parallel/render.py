@@ -1,0 +1,168 @@
+"""Sharded rendering over a ('px', 'spp') device mesh via ``jax.shard_map``.
+
+Pixels are blocked across the ``px`` axis (each device owns a contiguous run
+of flattened pixel indices — the scanline-block analog of the reference's
+rayon rows, ``src/books/*/camera.rs:66-88``) and samples across the ``spp``
+axis (the analog of the reference's sequential GPU pass loop,
+``src/gpu/mod.rs:444-481``, here executed concurrently on different chips and
+reduced with ``psum`` over ICI).
+
+Determinism: every (sample, chunk-of-pixels) unit derives its key as
+``fold_in(fold_in(key, global_sample_idx), global_chunk_idx)`` — the SAME
+derivation as the single-chip pass loop — so an N-chip render is bit-identical
+to the 1-chip render when spp is unsharded, and equal up to f32 summation
+order when it is.
+
+The per-sample body is built from ``lax.scan`` (not ``fori_loop``) so the
+whole pass is reverse-mode differentiable; ``jax.checkpoint`` around the
+per-sample body keeps backward memory at one sample's residuals (inverse
+rendering, BASELINE config 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import CameraParams, RenderConfig, derive_camera
+from ..render import finalize_image, trace_rays
+from ..scene import Scene
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "integrator",
+                     "chunk", "stratified", "sqrt_spp", "mesh", "remat"),
+)
+def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
+                        width: int, height: int, spp: int, max_depth: int,
+                        mesh: Mesh, integrator: str = "path",
+                        chunk: int = 65536, stratified: bool = False,
+                        sqrt_spp: int = 0,
+                        sample_offset: jnp.ndarray | int = 0,
+                        remat: bool = True) -> jnp.ndarray:
+    """Trace >= ``spp`` samples/pixel across the mesh.
+
+    Returns the radiance SUM [H, W, 3] (replicated over 'spp', sharded over
+    'px' until gathered).  The actual sample count traced is
+    ``ceil(spp / n_spp_shards) * n_spp_shards`` — use ``spp_traced`` to
+    normalize:  ``render_pass_sharded.spp_traced(spp, mesh)``.
+    """
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    n_pix = width * height
+    per_shard = -(-n_pix // n_px)
+    chunk_eff = min(chunk, _ceil_to(per_shard, 256))
+    n_local = _ceil_to(per_shard, chunk_eff)
+    n_pad = n_local * n_px
+    n_chunks = n_local // chunk_eff
+    spp_local = -(-spp // n_spp)
+    dt = jnp.float32
+
+    pix = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def shard_body(scene, cam, key, pix):
+        spp_idx = jax.lax.axis_index("spp")
+        px_idx = jax.lax.axis_index("px")
+        px_all = (pix % width).astype(dt).reshape(n_chunks, chunk_eff)
+        py_all = jnp.minimum(pix // width, height - 1).astype(dt).reshape(
+            n_chunks, chunk_eff
+        )
+        gchunks = px_idx * n_chunks + jnp.arange(n_chunks)
+
+        def one_sample(s):
+            s_idx = sample_offset + spp_idx * spp_local + s
+
+            def chunk_body(_, args):
+                gc, px, py = args
+                kc = jax.random.fold_in(jax.random.fold_in(key, s_idx), gc)
+                rad = trace_rays(
+                    scene, cam, kc, s_idx, px, py, max_depth=max_depth,
+                    integrator=integrator, stratified=stratified,
+                    sqrt_spp=sqrt_spp,
+                )
+                return None, rad
+
+            _, rads = jax.lax.scan(chunk_body, None, (gchunks, px_all, py_all))
+            return rads.reshape(n_local, 3)
+
+        body = jax.checkpoint(one_sample) if remat else one_sample
+
+        def sample_body(accum, s):
+            return accum + body(s), None
+
+        accum, _ = jax.lax.scan(
+            sample_body, jnp.zeros((n_local, 3), dt), jnp.arange(spp_local)
+        )
+        return jax.lax.psum(accum, "spp")
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("px")),
+        out_specs=P("px", None),
+        # The integrator's scan carries mix constants (unvarying) with traced
+        # values (varying); the static VMA check can't type that, so turn it
+        # off — psum placement is explicit here anyway.
+        check_vma=False,
+    )
+    accum = sharded(scene, cam, key, pix)
+    return accum[:n_pix].reshape(height, width, 3)
+
+
+def spp_traced(spp: int, mesh: Mesh) -> int:
+    """Samples actually traced per pixel by ``render_pass_sharded``."""
+    n_spp = mesh.shape["spp"]
+    return -(-spp // n_spp) * n_spp
+
+
+def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
+                         integrator: str = "path", chunk: int = 65536,
+                         progress=None, accum_state: Optional[dict] = None):
+    """Full sharded render: host pass loop, psum'd accumulation, finalize.
+
+    The sharded analog of ``render.render_image``; returns
+    (image_u8 [H,W,3], accum_state).
+    """
+    import numpy as np
+
+    cam = derive_camera(cfg)
+    h, w = cfg.image_height, cfg.image_width
+
+    stratified = cfg.stratified
+    sqrt_spp = int(np.sqrt(cfg.samples_per_pixel)) if stratified else 0
+    spp_total = sqrt_spp * sqrt_spp if stratified else cfg.samples_per_pixel
+
+    if accum_state is None:
+        accum = jnp.zeros((h, w, 3), jnp.float32)
+        done = 0
+    else:
+        accum = jnp.asarray(accum_state["accum"])
+        done = int(accum_state["spp_done"])
+
+    key = jax.random.key(cfg.seed)
+    n_spp = mesh.shape["spp"]
+    per_pass = _ceil_to(cfg.spp_per_pass, n_spp)
+
+    while done < spp_total:
+        this = min(per_pass, _ceil_to(spp_total - done, n_spp))
+        accum = accum + render_pass_sharded(
+            scene, cam, key,
+            width=w, height=h, spp=this, max_depth=cfg.max_depth,
+            mesh=mesh, integrator=integrator, chunk=chunk,
+            stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done,
+        )
+        done += spp_traced(this, mesh)
+        if progress is not None:
+            progress(done, spp_total)
+
+    accum_np = np.asarray(accum)
+    return finalize_image(accum_np, done), {"accum": accum_np, "spp_done": done}

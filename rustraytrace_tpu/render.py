@@ -33,6 +33,33 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
+               s_idx, px, py, *, max_depth: int, integrator: str = "path",
+               stratified: bool = False, sqrt_spp: int = 0) -> jnp.ndarray:
+    """Trace ONE sample for a chunk of pixels; the shared inner unit of both
+    the single-chip pass loop and the sharded (shard_map) pass.
+
+    key_sc: the per-(sample, chunk) key — identical streams regardless of how
+    pixels/samples are sharded, so N-chip renders reproduce 1-chip renders.
+    s_idx: absolute sample index (drives book-3 stratification).
+    px, py: [chunk] pixel coordinates (float).
+    Returns the radiance [chunk, 3] of this sample.
+    """
+    dt = jnp.float32
+    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode)
+    trace = trace_mis if integrator == "mis" else trace_path
+    k_cam, k_path = jax.random.split(key_sc)
+    cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)
+    if stratified:
+        s_i = (s_idx % sqrt_spp).astype(dt)
+        s_j = (s_idx // sqrt_spp).astype(dt)
+        strat = (s_i, s_j, float(sqrt_spp))
+    else:
+        strat = None
+    o, d, time = generate_rays(cam, px, py, cam_draws, strat)
+    return trace(k_path, o, d, time, scene, cam.background, opts)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "integrator",
@@ -58,25 +85,15 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     px_all = (pix % width).astype(dt)
     py_all = jnp.minimum(pix // width, height - 1).astype(dt)
 
-    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode)
-    trace = trace_mis if integrator == "mis" else trace_path
-
     def trace_unit(key_s, s_idx, c_idx, accum):
         start = c_idx * chunk
         px = jax.lax.dynamic_slice(px_all, (start,), (chunk,))
         py = jax.lax.dynamic_slice(py_all, (start,), (chunk,))
-
         kc = jax.random.fold_in(key_s, c_idx)
-        k_cam, k_path = jax.random.split(kc)
-        cam_draws = jax.random.uniform(k_cam, (chunk, 5), dtype=dt)
-        if stratified:
-            s_i = (s_idx % sqrt_spp).astype(dt)
-            s_j = (s_idx // sqrt_spp).astype(dt)
-            strat = (s_i, s_j, float(sqrt_spp))
-        else:
-            strat = None
-        o, d, time = generate_rays(cam, px, py, cam_draws, strat)
-        radiance = trace(k_path, o, d, time, scene, cam.background, opts)
+        radiance = trace_rays(
+            scene, cam, kc, s_idx, px, py, max_depth=max_depth,
+            integrator=integrator, stratified=stratified, sqrt_spp=sqrt_spp,
+        )
         cur = jax.lax.dynamic_slice(accum, (start, 0), (chunk, 3))
         return jax.lax.dynamic_update_slice(accum, cur + radiance, (start, 0))
 
