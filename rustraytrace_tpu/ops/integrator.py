@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..scene import Scene, LIGHT_QUAD
 from . import rng
 from .intersect import closest_hit, sphere_roots, T_MIN, T_MAX
-from .materials import scatter
+from .materials import gather_mat, scatter
 
 _PI = 3.14159265358979
 
@@ -44,6 +44,9 @@ class IntegratorOptions:
     bg_mode: int  # config.BG_SKY | config.BG_FLAT
     emit_front_only: bool = False  # book 3 gate
     rr_from_running_product: bool = True  # GPU semantics; book 3 uses per-hit
+    # "xla" = general gather path; "sphere_kernel" = Pallas closest-hit
+    # megastep for sphere-only scenes (see ops/pallas_hit.py)
+    backend: str = "xla"
 
 
 def n_media(scene: Scene) -> int:
@@ -70,6 +73,11 @@ def _background(d, scene_bg, bg_mode):
 def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
                opts: IntegratorOptions) -> jnp.ndarray:
     """Books 1/2 integrator. o,d: [R,3]; time: [R]. Returns radiance [R,3]."""
+    if opts.backend == "megakernel":
+        from .pallas_megakernel import trace_path_megakernel
+
+        return trace_path_megakernel(key, o, d, time, scene, background, opts)
+
     R = o.shape[0]
     dt = o.dtype
     nm = n_media(scene)
@@ -77,16 +85,23 @@ def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
     def step(carry, bounce):
         o, d, time, atten, radiance, alive = carry
         kb = jax.random.fold_in(key, bounce)
-        draws = rng.uniforms(kb, (R,), 4 + nm)
 
-        rec = closest_hit(o, d, time, scene, draws[:, 4:])
+        if opts.backend == "sphere_kernel":
+            from .pallas_hit import closest_hit_spheres_pallas
+
+            draws = rng.uniforms(kb, (R,), 4)
+            rec, mat = closest_hit_spheres_pallas(o, d, time, scene)
+        else:
+            draws = rng.uniforms(kb, (R,), 4 + nm)
+            rec = closest_hit(o, d, time, scene, draws[:, 4:])
+            mat = gather_mat(scene, rec)
 
         # miss -> background, die (camera.rs:206-208 / the_next_week:176-179)
         bg = _background(d, background, opts.bg_mode)
         miss = alive & ~rec.valid
         radiance = radiance + jnp.where(miss[:, None], atten * bg, 0.0)
 
-        sc = scatter(d, rec, scene, draws[:, 0:3], opts.emit_front_only)
+        sc = scatter(d, rec, mat, draws[:, 0:3], opts.emit_front_only)
 
         # emission on hit (the_next_week/camera.rs:183-197)
         radiance = radiance + jnp.where(
@@ -241,7 +256,8 @@ def trace_mis(key: jax.Array, o, d, time, scene: Scene, background,
         miss = alive & ~rec.valid
         radiance = radiance + jnp.where(miss[:, None], atten * bg, 0.0)
 
-        sc = scatter(d, rec, scene, draws[:, 0:3], emit_front_only=True,
+        mat = gather_mat(scene, rec)
+        sc = scatter(d, rec, mat, draws[:, 0:3], emit_front_only=True,
                      metal_absorb=False)
         radiance = radiance + jnp.where(
             (alive & rec.valid)[:, None], atten * sc.emitted, 0.0

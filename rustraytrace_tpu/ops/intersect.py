@@ -86,10 +86,14 @@ def hit_spheres(o, d, time, scene: Scene, t_min, t_max):
     V = scene.sph_cvel  # [N,3]
     r = scene.sph_radius  # [N]
 
-    d_C = d @ C.T  # [R,N] — MXU
-    d_V = d @ V.T
-    o_C = o @ C.T
-    o_V = o @ V.T
+    # HIGHEST precision (bf16x6 ~ true f32): the quadric cancellation on
+    # large spheres (r=1000 ground) turns default single-pass-bf16 matmul
+    # error (~3e-3 rel) into severe surface acne.
+    hi = jax.lax.Precision.HIGHEST
+    d_C = jnp.dot(d, C.T, precision=hi)  # [R,N] — MXU
+    d_V = jnp.dot(d, V.T, precision=hi)
+    o_C = jnp.dot(o, C.T, precision=hi)
+    o_V = jnp.dot(o, V.T, precision=hi)
 
     C2 = jnp.sum(C * C, axis=-1)  # [N]
     CV = jnp.sum(C * V, axis=-1)
@@ -228,6 +232,22 @@ def hit_media(o, d, scene: Scene, t_min, t_best, u_media):
     return t, mat, hit
 
 
+def refine_sphere_t(o, d, ctr, rad, t, valid):
+    """One Newton step on the direct-form quadric f(t) = |o + t d - c|^2 - r^2.
+
+    The MXU-friendly expanded quadric (hit_spheres, pallas_hit) carries ~1e-3
+    relative f32 cancellation error on large spheres (r=1000 ground); a single
+    Newton step against the numerically-stable direct form (oc subtraction
+    BEFORE products, like the reference GPU kernel renderer.wgsl:122-126)
+    restores ~1e-6 relative accuracy for ~15 per-ray flops.
+    """
+    oc = o + t[:, None] * d - ctr
+    f = jnp.sum(oc * oc, axis=-1) - rad * rad
+    fp = 2.0 * jnp.sum(d * oc, axis=-1)
+    safe = valid & (jnp.abs(fp) > 1e-12)
+    return jnp.where(safe, t - f / jnp.where(safe, fp, 1.0), t)
+
+
 def sphere_uv(outward: jnp.ndarray):
     """Spherical UV from the outward unit normal (sphere.rs:47-53).
 
@@ -267,12 +287,15 @@ def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> Hi
     cls = jnp.where(better_m, CLS_MEDIUM, cls)
 
     valid = cls != CLS_NONE
-    t_safe = jnp.where(valid, t, 1.0)
-    p = o + t_safe[:, None] * d
 
     # --- sphere record (gather winning sphere) ---
     ctr = scene.sph_center[is_] + time[:, None] * scene.sph_cvel[is_]
     rad = scene.sph_radius[is_]
+    is_sphere_w = cls == CLS_SPHERE
+    t = refine_sphere_t(o, d, ctr, rad, t, is_sphere_w)
+    t_safe = jnp.where(valid, t, 1.0)
+    p = o + t_safe[:, None] * d
+
     outward_s = (p - ctr) / jnp.maximum(rad, 1e-30)[:, None]
     us, vs = sphere_uv(outward_s)
     mat_s = scene.sph_mat[is_]

@@ -69,7 +69,30 @@ class ScatterResult:
     is_lambertian: jnp.ndarray  # [R] bool (cosine-pdf diffuse, for MIS)
 
 
-def scatter(d_in: jnp.ndarray, rec: HitRecord, scene: Scene,
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MatRecord:
+    """Per-ray material attributes at the hit — produced either by gathers
+    from the Scene SoA (``gather_mat``, general XLA path) or directly by the
+    Pallas closest-hit kernel's one-hot attribute matmul (no gathers)."""
+
+    kind: jnp.ndarray  # [R] i32
+    albedo: jnp.ndarray  # [R,3] texture-evaluated color (also the emission)
+    fuzz: jnp.ndarray  # [R]
+    ior: jnp.ndarray  # [R]
+
+
+def gather_mat(scene: Scene, rec: HitRecord) -> MatRecord:
+    """General path: gather the hit material's params and evaluate textures."""
+    return MatRecord(
+        kind=scene.mat_kind[rec.mat],
+        albedo=texture_value(scene.mat_tex[rec.mat], rec.u, rec.v, rec.p, scene),
+        fuzz=scene.mat_fuzz[rec.mat],
+        ior=scene.mat_ior[rec.mat],
+    )
+
+
+def scatter(d_in: jnp.ndarray, rec: HitRecord, mat: MatRecord,
             draws: jnp.ndarray, emit_front_only: bool,
             metal_absorb: bool = True) -> ScatterResult:
     """Evaluate all materials for rays d_in [R,3] at hits ``rec``.
@@ -80,11 +103,11 @@ def scatter(d_in: jnp.ndarray, rec: HitRecord, scene: Scene,
     (material.rs:53-64); book 3's Metal does not (the_rest_of_your_life/
     material.rs:84-96 always returns a ScatterRecord).
     """
-    kind = scene.mat_kind[rec.mat]  # [R]
-    fuzz = scene.mat_fuzz[rec.mat]
-    ior = scene.mat_ior[rec.mat]
+    kind = mat.kind  # [R]
+    fuzz = mat.fuzz
+    ior = mat.ior
     n = rec.normal
-    tex = texture_value(scene.mat_tex[rec.mat], rec.u, rec.v, rec.p, scene)
+    tex = mat.albedo
 
     ruv = rng.unit_vector(draws[:, 0], draws[:, 1])  # shared across materials
     unit_d = d_in / jnp.linalg.norm(d_in, axis=-1, keepdims=True)

@@ -35,7 +35,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
                s_idx, px, py, *, max_depth: int, integrator: str = "path",
-               stratified: bool = False, sqrt_spp: int = 0) -> jnp.ndarray:
+               stratified: bool = False, sqrt_spp: int = 0,
+               backend: str = "xla") -> jnp.ndarray:
     """Trace ONE sample for a chunk of pixels; the shared inner unit of both
     the single-chip pass loop and the sharded (shard_map) pass.
 
@@ -46,7 +47,8 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     Returns the radiance [chunk, 3] of this sample.
     """
     dt = jnp.float32
-    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode)
+    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode,
+                             backend=backend)
     trace = trace_mis if integrator == "mis" else trace_path
     k_cam, k_path = jax.random.split(key_sc)
     cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)
@@ -63,13 +65,14 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "integrator",
-                     "chunk", "stratified", "sqrt_spp"),
+                     "chunk", "stratified", "sqrt_spp", "backend"),
 )
 def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
                 width: int, height: int, spp: int, max_depth: int,
                 integrator: str = "path", chunk: int = 65536,
                 stratified: bool = False, sqrt_spp: int = 0,
-                sample_offset: jnp.ndarray | int = 0) -> jnp.ndarray:
+                sample_offset: jnp.ndarray | int = 0,
+                backend: str = "xla") -> jnp.ndarray:
     """Trace ``spp`` samples/pixel; returns the RGB radiance SUM [H, W, 3].
 
     ``sample_offset`` shifts the per-sample RNG stream (for multi-pass and
@@ -93,6 +96,7 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
         radiance = trace_rays(
             scene, cam, kc, s_idx, px, py, max_depth=max_depth,
             integrator=integrator, stratified=stratified, sqrt_spp=sqrt_spp,
+            backend=backend,
         )
         cur = jax.lax.dynamic_slice(accum, (start, 0), (chunk, 3))
         return jax.lax.dynamic_update_slice(accum, cur + radiance, (start, 0))
@@ -122,14 +126,32 @@ def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
     return (np.clip(img, 0.0, 0.999) * 256.0).astype(np.uint8)
 
 
+def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str:
+    """'auto' picks the Pallas sphere kernel when the scene qualifies."""
+    if backend != "auto":
+        return backend
+    from .ops.pallas_hit import sphere_kernel_eligible
+    from .ops.pallas_megakernel import megakernel_eligible
+
+    on_tpu = jax.default_backend() == "tpu"
+    # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
+    # the closest-hit kernel runs everywhere (interpret mode on CPU)
+    if integrator == "path" and on_tpu and megakernel_eligible(scene):
+        return "megakernel"
+    if integrator == "path" and sphere_kernel_eligible(scene):
+        return "sphere_kernel"
+    return "xla"
+
+
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
                  chunk: int = 65536, progress=None,
-                 accum_state: Optional[dict] = None):
+                 accum_state: Optional[dict] = None, backend: str = "auto"):
     """Full render: host pass loop over spp mega-batches.
 
     Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
     call resumes accumulation (checkpoint/resume; SURVEY.md §5).
     """
+    backend = resolve_backend(scene, integrator, backend)
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
 
@@ -154,7 +176,7 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
             width=w, height=h, spp=this, max_depth=cfg.max_depth,
             integrator=integrator, chunk=chunk,
             stratified=stratified, sqrt_spp=sqrt_spp,
-            sample_offset=done,
+            sample_offset=done, backend=backend,
         )
         done += this
         if progress is not None:

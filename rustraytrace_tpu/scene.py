@@ -393,6 +393,8 @@ class SceneBuilder:
             features.append("media")
         if self._quads:
             features.append("quads")
+        if any(np.any(s[1] != 0.0) for s in self._spheres):
+            features.append("motion")
 
         return Scene(
             features=tuple(features),

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rustraytrace_tpu.ops import rng as rng_ops
-from rustraytrace_tpu.ops.materials import reflect, refract, scatter, schlick
+from rustraytrace_tpu.ops.materials import gather_mat, reflect, refract, scatter, schlick
 from rustraytrace_tpu.ops.intersect import closest_hit
 from rustraytrace_tpu.scene import SceneBuilder
 
@@ -76,7 +76,7 @@ def test_lambertian_scatter_distribution():
     rec_n = jax.tree_util.tree_map(lambda a: jnp.repeat(a, n, axis=0), rec)
     d_n = jnp.repeat(d, n, axis=0)
     draws = jax.random.uniform(jax.random.key(3), (n, 3))
-    sc = scatter(d_n, rec_n, s, draws, emit_front_only=False)
+    sc = scatter(d_n, rec_n, gather_mat(s, rec_n), draws, emit_front_only=False)
     dirs = np.array(sc.direction)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     # cosine-weighted: E[cos theta] = 2/3 around normal +z
@@ -89,7 +89,7 @@ def test_lambertian_scatter_distribution():
 def test_metal_mirror_exact():
     s, d, rec = _hit_scene(lambda b: b.metal((0.9, 0.8, 0.7), 0.0))
     draws = jnp.full((1, 3), 0.5)
-    sc = scatter(d, rec, s, draws, emit_front_only=False)
+    sc = scatter(d, rec, gather_mat(s, rec), draws, emit_front_only=False)
     got = np.asarray(sc.direction)[0]
     np.testing.assert_allclose(got / np.linalg.norm(got), [0, 0, 1.0], atol=1e-5)
     assert bool(sc.specular[0])
@@ -105,7 +105,7 @@ def test_dielectric_tir():
     d = jnp.asarray([[1.0, 0.05, 0.0]])
     rec = closest_hit(o, d, jnp.zeros(1), s, jnp.zeros((1, 2)))
     assert not bool(rec.front_face[0])  # exiting: back face
-    sc = scatter(d, rec, s, jnp.full((1, 3), 0.999), emit_front_only=False)
+    sc = scatter(d, rec, gather_mat(s, rec), jnp.full((1, 3), 0.999), emit_front_only=False)
     out = np.asarray(sc.direction)[0]
     n = np.asarray(rec.normal)[0]
     ud = np.asarray(d[0] / np.linalg.norm(d[0]))
@@ -117,7 +117,7 @@ def test_dielectric_tir():
 
 def test_diffuse_light_emits_and_dies():
     s, d, rec = _hit_scene(lambda b: b.diffuse_light((4.0, 4.0, 4.0)))
-    sc = scatter(d, rec, s, jnp.full((1, 3), 0.5), emit_front_only=False)
+    sc = scatter(d, rec, gather_mat(s, rec), jnp.full((1, 3), 0.5), emit_front_only=False)
     np.testing.assert_allclose(np.asarray(sc.emitted)[0], [4.0, 4.0, 4.0], rtol=1e-6)
     assert not bool(sc.scattered[0])
 
@@ -131,7 +131,7 @@ def test_emit_front_only_gate():
     d = jnp.asarray([[0.0, 0.0, -1.0]])
     rec = closest_hit(o, d, jnp.zeros(1), s, jnp.zeros((1, 2)))
     assert not bool(rec.front_face[0])
-    sc_gated = scatter(d, rec, s, jnp.full((1, 3), 0.5), emit_front_only=True)
-    sc_open = scatter(d, rec, s, jnp.full((1, 3), 0.5), emit_front_only=False)
+    sc_gated = scatter(d, rec, gather_mat(s, rec), jnp.full((1, 3), 0.5), emit_front_only=True)
+    sc_open = scatter(d, rec, gather_mat(s, rec), jnp.full((1, 3), 0.5), emit_front_only=False)
     np.testing.assert_allclose(np.asarray(sc_gated.emitted)[0], 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(sc_open.emitted)[0], 4.0, rtol=1e-6)
