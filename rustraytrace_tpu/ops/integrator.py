@@ -72,12 +72,13 @@ def _background(d, scene_bg, bg_mode):
 
 def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
                opts: IntegratorOptions) -> jnp.ndarray:
-    """Books 1/2 integrator. o,d: [R,3]; time: [R]. Returns radiance [R,3]."""
-    if opts.backend == "megakernel":
-        from .pallas_megakernel import trace_path_megakernel
+    """Books 1/2 integrator. o,d: [R,3]; time: [R]. Returns radiance [R,3].
 
-        return trace_path_megakernel(key, o, d, time, scene, background, opts)
-
+    ``opts.backend == "megakernel"`` is handled one level up
+    (render.render_pass delegates whole passes to
+    ops.pallas_megakernel.render_pass_megakernel, which generates its own
+    camera rays in-kernel).
+    """
     R = o.shape[0]
     dt = o.dtype
     nm = n_media(scene)

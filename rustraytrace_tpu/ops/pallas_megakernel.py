@@ -93,18 +93,26 @@ def _uniform(shape):
     return (bits & 0x7FFFFF).astype(_F32) * (1.0 / 8388608.0)
 
 
-def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool):
+def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool,
+                 spp: int, width: int, height: int, defocus: bool):
     shape = (TILE_ROWS, TILE_LANES)
 
-    def kernel(tab_ref, seed_ref, bg_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tm_ref, rx_ref, ry_ref, rz_ref):
+    def kernel(tab_ref, cam_ref, seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-        tm = tm_ref[:] if moving else None
         zeros = jnp.zeros(shape, _F32)
         ones = jnp.ones(shape, _F32)
 
-        def intersect(ox, oy, oz, dx, dy, dz, a, inv_a):
+        # per-lane pixel coordinates from the global ray index
+        gid = (
+            pl.program_id(0) * TILE_R
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * TILE_LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        )
+        px = (gid % width).astype(_F32)
+        py = jnp.minimum(gid // width, height - 1).astype(_F32)
+
+        def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
             def body(s, carry):
                 (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry
                 cx = tab_ref[s, J_CX]
@@ -147,11 +155,12 @@ def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool):
             return jax.lax.fori_loop(0, n_spheres, body, init)
 
         def bounce_body(state):
-            (b, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz, alive) = state
+            (b, tm, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz,
+             alive) = state
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
             (t, kind, car, cag, cab, fz, io, owx, owy, owz) = intersect(
-                ox, oy, oz, dx, dy, dz, a, inv_a)
+                tm, ox, oy, oz, dx, dy, dz, a, inv_a)
             hit = t < _BIG
 
             # background on miss (renderer.wgsl:233-239)
@@ -171,9 +180,9 @@ def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool):
             rz = rz + missf * az * bgb
 
             alive = alive * jnp.where(hit, 1.0, 0.0)
-            px = ox + t * dx
-            py = oy + t * dy
-            pz = oz + t * dz
+            px_ = ox + t * dx
+            py_ = oy + t * dy
+            pz_ = oz + t * dz
 
             d_dot_ow = dx * owx + dy * owy + dz * owz
             front = d_dot_ow < 0.0
@@ -281,91 +290,130 @@ def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool):
                 az = az * scale
 
             live = alive > 0.0
-            ox = jnp.where(live, px, ox)
-            oy = jnp.where(live, py, oy)
-            oz = jnp.where(live, pz, oz)
+            ox = jnp.where(live, px_, ox)
+            oy = jnp.where(live, py_, oy)
+            oz = jnp.where(live, pz_, oz)
             dx = jnp.where(live, ndx, dx)
             dy = jnp.where(live, ndy, dy)
             dz = jnp.where(live, ndz, dz)
-            return (b + 1, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz,
+            return (b + 1, tm, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz,
                     alive)
 
         def cond(state):
             b = state[0]
-            alive = state[13]
+            alive = state[14]
             return (b < max_depth) & (jnp.sum(alive) > 0.0)
 
-        init = (
-            jnp.asarray(0, jnp.int32),
-            ox_ref[:], oy_ref[:], oz_ref[:],
-            dx_ref[:], dy_ref[:], dz_ref[:],
-            ones, ones, ones,
-            zeros, zeros, zeros,
-            ones,  # alive mask carried as f32 (Mosaic while-carry can't hold i1 vectors)
-        )
-        final = jax.lax.while_loop(cond, bounce_body, init)
-        rx_ref[:] = final[10]
-        ry_ref[:] = final[11]
-        rz_ref[:] = final[12]
+        def one_sample(s, accum):
+            sx, sy, sz = accum
+            # camera ray (Camera::get_ray, camera.rs:152-180): jittered
+            # sub-pixel sample + optional defocus-disk origin; time in [0,1)
+            u1 = _uniform(shape)
+            u2 = _uniform(shape)
+            jx = px + (u1 - 0.5)
+            jy = py + (u2 - 0.5)
+            psx = cam_ref[3] + jx * cam_ref[6] + jy * cam_ref[9]
+            psy = cam_ref[4] + jx * cam_ref[7] + jy * cam_ref[10]
+            psz = cam_ref[5] + jx * cam_ref[8] + jy * cam_ref[11]
+            if defocus:
+                u3 = _uniform(shape)
+                u4 = _uniform(shape)
+                dr = jnp.sqrt(u3)
+                dth = u4 * _TWO_PI
+                ddx = dr * jnp.cos(dth)
+                ddy = dr * jnp.sin(dth)
+                ox0 = cam_ref[0] + ddx * cam_ref[12] + ddy * cam_ref[15]
+                oy0 = cam_ref[1] + ddx * cam_ref[13] + ddy * cam_ref[16]
+                oz0 = cam_ref[2] + ddx * cam_ref[14] + ddy * cam_ref[17]
+            else:
+                ox0 = cam_ref[0] + zeros
+                oy0 = cam_ref[1] + zeros
+                oz0 = cam_ref[2] + zeros
+            tm = _uniform(shape) if moving else zeros
+
+            init = (
+                jnp.asarray(0, jnp.int32), tm,
+                ox0, oy0, oz0,
+                psx - ox0, psy - oy0, psz - oz0,
+                ones, ones, ones,
+                zeros, zeros, zeros,
+                ones,  # alive mask as f32 (Mosaic while-carry can't hold i1)
+            )
+            final = jax.lax.while_loop(cond, bounce_body, init)
+            return (sx + final[11], sy + final[12], sz + final[13])
+
+        sx, sy, sz = jax.lax.fori_loop(
+            0, spp, one_sample, (zeros, zeros, zeros))
+        rx_ref[:] = sx
+        ry_ref[:] = sy
+        rz_ref[:] = sz
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("moving", "max_depth", "sky_bg", "interpret"),
+    static_argnames=("moving", "max_depth", "sky_bg", "spp", "width",
+                     "height", "defocus", "rows", "interpret"),
 )
-def _megakernel_raw(tab, seed, bg, ox, oy, oz, dx, dy, dz, tm, *,
-                    moving: bool, max_depth: int, sky_bg: bool,
-                    interpret: bool):
-    rows = ox.shape[0]
+def _megakernel_raw(tab, cam_u, seed, bg, *, moving: bool, max_depth: int,
+                    sky_bg: bool, spp: int, width: int, height: int,
+                    defocus: bool, rows: int, interpret: bool):
     grid = (rows // TILE_ROWS,)
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct(ox.shape, _F32)
+    out = jax.ShapeDtypeStruct((rows, TILE_LANES), _F32)
     return pl.pallas_call(
-        _make_kernel(tab.shape[0], moving, max_depth, sky_bg),
+        _make_kernel(tab.shape[0], moving, max_depth, sky_bg, spp, width,
+                     height, defocus),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tab.shape[0], J_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((20,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((4,), lambda i: (0,), memory_space=pltpu.SMEM),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            ray_spec,
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, seed, bg, ox, oy, oz, dx, dy, dz, tm)
+    )(tab, cam_u, seed, bg)
 
 
-def trace_path_megakernel(key, o, d, time, scene: Scene, background,
-                          opts, *, interpret: bool | None = None):
-    """Drop-in replacement for integrator.trace_path on eligible scenes."""
+def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
+                           spp: int, max_depth: int,
+                           sample_offset=0,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Whole-image render pass in ONE kernel launch: in-kernel ray
+    generation, spp loop, and bounce loop.  Returns the radiance SUM
+    [H, W, 3] — the same contract as render.render_pass.
+
+    The spp loop lives in-kernel (not a lax.fori over launches) both for
+    speed (no per-sample XLA raygen/accumulate round-trips) and because the
+    axon runtime intermittently stalls multi-minute on the first execution
+    of an executable with many queued pallas launches.
+    """
     from ..config import BG_SKY
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    R = o.shape[0]
-    Rpad = -(-R // TILE_R) * TILE_R
-    rows = Rpad // TILE_LANES
-
-    def plane(x):
-        if Rpad != R:
-            x = jnp.pad(x, (0, Rpad - R), constant_values=1.0)
-        return x.reshape(rows, TILE_LANES)
+    n_pix = width * height
+    rows = (-(-n_pix // TILE_R)) * TILE_ROWS
 
     tab = pack_joined_table(scene)
+    cam_u = jnp.concatenate([
+        cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
+        cam.defocus_disk_u, cam.defocus_disk_v, jnp.zeros(2, _F32),
+    ]).astype(_F32)
+    key = jax.random.fold_in(key, sample_offset)
     seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1]
-    bg = jnp.concatenate([background.astype(_F32), jnp.zeros(1, _F32)])
+    bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
+
     rx, ry, rz = _megakernel_raw(
-        tab, seed, bg,
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]), plane(time),
-        moving="motion" in scene.features, max_depth=opts.max_depth,
-        sky_bg=opts.bg_mode == BG_SKY, interpret=interpret,
+        tab, cam_u, seed, bg,
+        moving="motion" in scene.features, max_depth=max_depth,
+        sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
+        defocus=cam.lens_radius_gt0, rows=rows, interpret=interpret,
     )
-    return jnp.stack(
-        [rx.reshape(-1)[:R], ry.reshape(-1)[:R], rz.reshape(-1)[:R]], axis=-1
-    )
+    img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)
+    return img[:n_pix].reshape(height, width, 3)

@@ -79,6 +79,14 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     spp-sharded accumulation); stratification indexes the sqrt_spp x sqrt_spp
     sub-pixel grid by absolute sample index (camera.rs:173-177, book 3).
     """
+    if backend == "megakernel":
+        from .ops.pallas_megakernel import render_pass_megakernel
+
+        return render_pass_megakernel(
+            scene, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, sample_offset=sample_offset,
+        )
+
     n_pix = width * height
     n_pad = _ceil_to(n_pix, chunk)
     n_chunks = n_pad // chunk
@@ -145,7 +153,8 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
 
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
                  chunk: int = 65536, progress=None,
-                 accum_state: Optional[dict] = None, backend: str = "auto"):
+                 accum_state: Optional[dict] = None, backend: str = "auto",
+                 on_pass=None):
     """Full render: host pass loop over spp mega-batches.
 
     Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
@@ -181,6 +190,9 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
         done += this
         if progress is not None:
             progress(done, spp_total)
+        if on_pass is not None:
+            # every pass boundary is a resumable state (SURVEY.md §5)
+            on_pass({"accum": accum, "spp_done": done})
 
     accum_np = np.asarray(accum)
     return finalize_image(accum_np, done), {"accum": accum_np, "spp_done": done}
