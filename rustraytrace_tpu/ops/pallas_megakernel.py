@@ -8,10 +8,12 @@ shading, Russian roulette, and background — entirely in VMEM/registers over a
 ~3.4 ms/bounce of XLA round-trips through HBM at R=64k; here a bounce costs
 ~18 cycles/ray and the loop exits as soon as every lane in the tile is dead.
 
-Scope (megakernel_eligible): spheres only, materials lambertian / metal /
+Scope (megakernel_eligible): spheres + quads (incl. boxes/instances, which
+the scene compiler bakes to quads), materials lambertian / metal /
 dielectric / diffuse-light with SOLID colors, sky-gradient or flat
-background.  Everything else uses the hybrid or XLA paths — same estimator,
-different execution.
+background, motion blur, defocus.  Constant media and checker/image/noise
+textures fall back to the hybrid or XLA paths — same estimator, different
+execution.
 
 Semantics pinned to the reference GPU f32 path:
 * quadric half-b form with oc subtracted first (renderer.wgsl:122-142),
@@ -63,9 +65,23 @@ J_IOR = 13
 J_COLS = 16
 
 
+# quad SMEM table columns (quad.rs:23-43 precomputed frame)
+Q_QX, Q_QY, Q_QZ = 0, 1, 2
+Q_UX, Q_UY, Q_UZ = 3, 4, 5
+Q_VX, Q_VY, Q_VZ = 6, 7, 8
+Q_NX, Q_NY, Q_NZ = 9, 10, 11  # unit normal
+Q_DP = 12  # plane offset d
+Q_WX, Q_WY, Q_WZ = 13, 14, 15  # w = n / dot(n, n)
+Q_KIND = 16
+Q_AR, Q_AG, Q_AB = 17, 18, 19
+Q_FUZZ = 20
+Q_IOR = 21
+Q_COLS = 24
+
+
 def megakernel_eligible(scene: Scene) -> bool:
     feats = set(scene.features)
-    return not feats & {"quads", "media", "image", "noise", "checker"}
+    return not feats & {"media", "image", "noise", "checker"}
 
 
 def pack_joined_table(scene: Scene) -> jnp.ndarray:
@@ -85,6 +101,35 @@ def pack_joined_table(scene: Scene) -> jnp.ndarray:
     return tab
 
 
+def pack_quad_table(scene: Scene) -> jnp.ndarray:
+    """[Q, 24] f32; padding/masked quads get a zero normal (|denom| < 1e-8
+    rejects them for every ray)."""
+    q = scene.quad_q
+    u = scene.quad_u
+    v = scene.quad_v
+    Q = q.shape[0]
+    mask = scene.quad_mask > 0
+    n = jnp.cross(u, v)
+    nn = jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-30)
+    w = n / nn
+    normal = n / jnp.sqrt(nn)
+    normal = jnp.where(mask[:, None], normal, 0.0)
+    dp = jnp.sum(normal * q, axis=-1)
+    mat = scene.quad_mat
+    tab = jnp.zeros((Q, Q_COLS), _F32)
+    tab = tab.at[:, Q_QX:Q_QZ + 1].set(q)
+    tab = tab.at[:, Q_UX:Q_UZ + 1].set(u)
+    tab = tab.at[:, Q_VX:Q_VZ + 1].set(v)
+    tab = tab.at[:, Q_NX:Q_NZ + 1].set(normal)
+    tab = tab.at[:, Q_DP].set(dp)
+    tab = tab.at[:, Q_WX:Q_WZ + 1].set(w)
+    tab = tab.at[:, Q_KIND].set(scene.mat_kind[mat].astype(_F32))
+    tab = tab.at[:, Q_AR:Q_AB + 1].set(scene.tex_color1[scene.mat_tex[mat]])
+    tab = tab.at[:, Q_FUZZ].set(scene.mat_fuzz[mat])
+    tab = tab.at[:, Q_IOR].set(scene.mat_ior[mat])
+    return tab
+
+
 def _uniform(shape):
     # prng_random_bits yields int32; mask to the low 23 bits (always
     # non-negative — an arithmetic >> of negative bits would yield negative
@@ -93,11 +138,13 @@ def _uniform(shape):
     return (bits & 0x7FFFFF).astype(_F32) * (1.0 / 8388608.0)
 
 
-def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool,
-                 spp: int, width: int, height: int, defocus: bool):
+def _make_kernel(n_spheres: int, n_quads: int, moving: bool, max_depth: int,
+                 sky_bg: bool, spp: int, width: int, height: int,
+                 defocus: bool):
     shape = (TILE_ROWS, TILE_LANES)
 
-    def kernel(tab_ref, cam_ref, seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
+    def kernel(tab_ref, qtab_ref, cam_ref, seed_ref, bg_ref,
+               rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -152,7 +199,58 @@ def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool,
 
             init = (jnp.full(shape, _BIG, _F32), zeros, zeros, zeros, zeros,
                     zeros, ones, zeros, zeros, ones)
-            return jax.lax.fori_loop(0, n_spheres, body, init)
+            carry = jax.lax.fori_loop(0, n_spheres, body, init)
+
+            def qbody(qi, carry):
+                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry
+                # plane hit + planar-coords interior test (quad.rs:59-88)
+                nqx = qtab_ref[qi, Q_NX]
+                nqy = qtab_ref[qi, Q_NY]
+                nqz = qtab_ref[qi, Q_NZ]
+                denom = dx * nqx + dy * nqy + dz * nqz
+                safe = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                tq = (qtab_ref[qi, Q_DP]
+                      - (ox * nqx + oy * nqy + oz * nqz)) / safe
+                relx = ox + tq * dx - qtab_ref[qi, Q_QX]
+                rely = oy + tq * dy - qtab_ref[qi, Q_QY]
+                relz = oz + tq * dz - qtab_ref[qi, Q_QZ]
+                ux = qtab_ref[qi, Q_UX]
+                uy = qtab_ref[qi, Q_UY]
+                uz = qtab_ref[qi, Q_UZ]
+                vx = qtab_ref[qi, Q_VX]
+                vy = qtab_ref[qi, Q_VY]
+                vz = qtab_ref[qi, Q_VZ]
+                wx = qtab_ref[qi, Q_WX]
+                wy = qtab_ref[qi, Q_WY]
+                wz = qtab_ref[qi, Q_WZ]
+                # alpha = w . (rel x v); beta = w . (u x rel)
+                alpha = (wx * (rely * vz - relz * vy)
+                         + wy * (relz * vx - relx * vz)
+                         + wz * (relx * vy - rely * vx))
+                beta = (wx * (uy * relz - uz * rely)
+                        + wy * (uz * relx - ux * relz)
+                        + wz * (ux * rely - uy * relx))
+                take = ((jnp.abs(denom) >= 1e-8)
+                        & (tq > T_MIN) & (tq < T_MAX)
+                        & (alpha >= 0.0) & (alpha <= 1.0)
+                        & (beta >= 0.0) & (beta <= 1.0)
+                        & (tq < bt))
+                return (
+                    jnp.where(take, tq, bt),
+                    jnp.where(take, qtab_ref[qi, Q_KIND], kind),
+                    jnp.where(take, qtab_ref[qi, Q_AR], ar),
+                    jnp.where(take, qtab_ref[qi, Q_AG], ag),
+                    jnp.where(take, qtab_ref[qi, Q_AB], ab),
+                    jnp.where(take, qtab_ref[qi, Q_FUZZ], fz),
+                    jnp.where(take, qtab_ref[qi, Q_IOR], io),
+                    jnp.where(take, nqx + zeros, nx),
+                    jnp.where(take, nqy + zeros, ny),
+                    jnp.where(take, nqz + zeros, nz),
+                )
+
+            if n_quads:
+                carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
+            return carry
 
         def bounce_body(state):
             (b, tm, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz,
@@ -353,10 +451,11 @@ def _make_kernel(n_spheres: int, moving: bool, max_depth: int, sky_bg: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("moving", "max_depth", "sky_bg", "spp", "width",
-                     "height", "defocus", "rows", "interpret"),
+    static_argnames=("n_quads", "moving", "max_depth", "sky_bg", "spp",
+                     "width", "height", "defocus", "rows", "interpret"),
 )
-def _megakernel_raw(tab, cam_u, seed, bg, *, moving: bool, max_depth: int,
+def _megakernel_raw(tab, qtab, cam_u, seed, bg, *, n_quads: int,
+                    moving: bool, max_depth: int,
                     sky_bg: bool, spp: int, width: int, height: int,
                     defocus: bool, rows: int, interpret: bool):
     grid = (rows // TILE_ROWS,)
@@ -364,12 +463,14 @@ def _megakernel_raw(tab, cam_u, seed, bg, *, moving: bool, max_depth: int,
                             memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((rows, TILE_LANES), _F32)
     return pl.pallas_call(
-        _make_kernel(tab.shape[0], moving, max_depth, sky_bg, spp, width,
-                     height, defocus),
+        _make_kernel(tab.shape[0], n_quads, moving, max_depth, sky_bg, spp,
+                     width, height, defocus),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tab.shape[0], J_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qtab.shape[0], Q_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((20,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -377,7 +478,7 @@ def _megakernel_raw(tab, cam_u, seed, bg, *, moving: bool, max_depth: int,
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, cam_u, seed, bg)
+    )(tab, qtab, cam_u, seed, bg)
 
 
 def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
@@ -401,6 +502,8 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     rows = (-(-n_pix // TILE_R)) * TILE_ROWS
 
     tab = pack_joined_table(scene)
+    qtab = pack_quad_table(scene)
+    n_quads = qtab.shape[0] if "quads" in scene.features else 0
     cam_u = jnp.concatenate([
         cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
         cam.defocus_disk_u, cam.defocus_disk_v, jnp.zeros(2, _F32),
@@ -410,7 +513,7 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, cam_u, seed, bg,
+        tab, qtab, cam_u, seed, bg, n_quads=n_quads,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, interpret=interpret,
