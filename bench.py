@@ -51,16 +51,15 @@ def main():
 
     import numpy as np
 
-    # compile + warmup with 1 spp (jit cache keyed on spp: compile the real
-    # shape too, with an untimed run).  NOTE: under the axon TPU tunnel
-    # block_until_ready returns immediately; np.asarray (device->host copy)
-    # is the only reliable completion fence, so all timing uses it.
-    # A cold chip occasionally crashes/recovers on the first big dispatch
-    # (~3 min recovery); retry the warmup and keep the best of two timed runs
-    # so recovery hiccups never pollute the reported number.
+    # Warmup compiles + runs the exact timed executable once.  NOTE on the
+    # axon TPU tunnel: (a) block_until_ready returns immediately — np.asarray
+    # (device->host copy) is the only reliable completion fence, so all
+    # timing uses it; (b) a fresh process's FIRST device execution randomly
+    # stalls 1-5 min in the claim/transfer layer (measured even for a plain
+    # 256x256 matmul — content-independent), so the warmup absorbs that and
+    # retries actual crashes.
     for attempt in range(3):
         try:
-            np.asarray(render_pass(scene, cam, key, spp=1, **kw))
             np.asarray(render_pass(scene, cam, key, spp=spp, **kw))
             break
         except Exception as e:  # pragma: no cover - device recovery path

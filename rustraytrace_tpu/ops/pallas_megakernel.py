@@ -45,7 +45,9 @@ from .intersect import T_MIN, T_MAX
 
 _BIG = 1.0e30
 _F32 = jnp.float32
-TILE_ROWS = 64
+TILE_ROWS = 16  # 2048 rays = two 32x32 screen blocks; best measured tradeoff
+# between SAH-cluster-cull granularity (smaller = tighter frustums) and
+# per-sphere scalar-read amortization (larger = cheaper loop overhead)
 TILE_LANES = 128
 TILE_R = TILE_ROWS * TILE_LANES
 _TWO_PI = 6.283185307179586
@@ -138,26 +140,38 @@ def _uniform(shape):
     return (bits & 0x7FFFFF).astype(_F32) * (1.0 / 8388608.0)
 
 
-def _make_kernel(n_spheres: int, n_quads: int, moving: bool, max_depth: int,
-                 sky_bg: bool, spp: int, width: int, height: int,
-                 defocus: bool):
-    shape = (TILE_ROWS, TILE_LANES)
+_BLK = 32  # screen-space swizzle block (32x32 pixels = 1024 consecutive slots)
 
-    def kernel(tab_ref, qtab_ref, cam_ref, seed_ref, bg_ref,
-               rx_ref, ry_ref, rz_ref):
+
+def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
+                 max_depth: int, sky_bg: bool, spp: int, width: int,
+                 height: int, defocus: bool, tile_rows: int):
+    shape = (tile_rows, TILE_LANES)
+    use_clusters = n_clusters > 0
+    tiles_x = -(-width // _BLK)
+
+    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, cam_ref, seed_ref,
+               bg_ref, rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
         ones = jnp.ones(shape, _F32)
 
-        # per-lane pixel coordinates from the global ray index
+        # per-lane pixel coordinates: ray slots are swizzled into 32x32
+        # screen blocks so a program's rays share a narrow primary frustum
+        # (what makes tile-level cluster culling bite); the host unswizzles
+        # the output with one gather
         gid = (
-            pl.program_id(0) * TILE_R
+            pl.program_id(0) * (tile_rows * TILE_LANES)
             + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * TILE_LANES
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         )
-        px = (gid % width).astype(_F32)
-        py = jnp.minimum(gid // width, height - 1).astype(_F32)
+        blk = gid // (_BLK * _BLK)
+        within = gid % (_BLK * _BLK)
+        pxi = (blk % tiles_x) * _BLK + within % _BLK
+        pyi = (blk // tiles_x) * _BLK + within // _BLK
+        px = jnp.minimum(pxi, width - 1).astype(_F32)
+        py = jnp.minimum(pyi, height - 1).astype(_F32)
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
             def body(s, carry):
@@ -199,7 +213,47 @@ def _make_kernel(n_spheres: int, n_quads: int, moving: bool, max_depth: int,
 
             init = (jnp.full(shape, _BIG, _F32), zeros, zeros, zeros, zeros,
                     zeros, ones, zeros, zeros, ones)
-            carry = jax.lax.fori_loop(0, n_spheres, body, init)
+            if use_clusters:
+                # SAH-cluster culling: test the cluster AABB against the
+                # whole ray tile; only descend into its spheres if ANY lane
+                # hits the box closer than its current best t.
+                sgx = jnp.where(dx < 0.0, -1e-20, 1e-20)
+                sgy = jnp.where(dy < 0.0, -1e-20, 1e-20)
+                sgz = jnp.where(dz < 0.0, -1e-20, 1e-20)
+                ivx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, sgx, dx)
+                ivy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, sgy, dy)
+                ivz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, sgz, dz)
+
+                def cl_body(ci, carry):
+                    bt = carry[0]
+                    tx1 = (clb_ref[ci, 0] - ox) * ivx
+                    tx2 = (clb_ref[ci, 3] - ox) * ivx
+                    ty1 = (clb_ref[ci, 1] - oy) * ivy
+                    ty2 = (clb_ref[ci, 4] - oy) * ivy
+                    tz1 = (clb_ref[ci, 2] - oz) * ivz
+                    tz2 = (clb_ref[ci, 5] - oz) * ivz
+                    t1 = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx1, tx2),
+                                    jnp.minimum(ty1, ty2)),
+                        jnp.minimum(tz1, tz2))
+                    t2 = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx1, tx2),
+                                    jnp.maximum(ty1, ty2)),
+                        jnp.maximum(tz1, tz2))
+                    hit_box = (t1 <= t2) & (t2 > T_MIN) & (t1 < bt)
+                    any_hit = jnp.max(jnp.where(hit_box, 1.0, 0.0)) > 0.0
+                    lo = cls_ref[ci]
+                    hi_ = cls_ref[ci + 1]
+                    return jax.lax.cond(
+                        any_hit,
+                        lambda c: jax.lax.fori_loop(lo, hi_, body, c),
+                        lambda c: c,
+                        carry,
+                    )
+
+                carry = jax.lax.fori_loop(0, n_clusters, cl_body, init)
+            else:
+                carry = jax.lax.fori_loop(0, n_spheres, body, init)
 
             def qbody(qi, carry):
                 (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry
@@ -451,39 +505,60 @@ def _make_kernel(n_spheres: int, n_quads: int, moving: bool, max_depth: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_quads", "moving", "max_depth", "sky_bg", "spp",
-                     "width", "height", "defocus", "rows", "interpret"),
+    static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
+                     "sky_bg", "spp", "width", "height", "defocus", "rows",
+                     "tile_rows", "interpret"),
 )
-def _megakernel_raw(tab, qtab, cam_u, seed, bg, *, n_quads: int,
-                    moving: bool, max_depth: int,
+def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
+                    n_clusters: int, moving: bool, max_depth: int,
                     sky_bg: bool, spp: int, width: int, height: int,
-                    defocus: bool, rows: int, interpret: bool):
-    grid = (rows // TILE_ROWS,)
-    ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                    defocus: bool, rows: int, tile_rows: int,
+                    interpret: bool):
+    grid = (rows // tile_rows,)
+    ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((rows, TILE_LANES), _F32)
+    smem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        _make_kernel(tab.shape[0], n_quads, moving, max_depth, sky_bg, spp,
-                     width, height, defocus),
+        _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
+                     sky_bg, spp, width, height, defocus, tile_rows),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tab.shape[0], J_COLS), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((qtab.shape[0], Q_COLS), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((20,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((4,), lambda i: (0,), memory_space=pltpu.SMEM),
+            smem(tab.shape[0], J_COLS),
+            smem(qtab.shape[0], Q_COLS),
+            smem(clb.shape[0], 8),
+            smem(cls.shape[0]),
+            smem(20),
+            smem(1),
+            smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, cam_u, seed, bg)
+
+
+_slot_cache: dict = {}
+
+
+def _unswizzle_index(width: int, height: int):
+    """[H*W] slot index of each pixel under the 32x32 block swizzle."""
+    key = (width, height)
+    if key not in _slot_cache:
+        import numpy as np
+
+        tiles_x = -(-width // _BLK)
+        py, px = np.mgrid[0:height, 0:width]
+        slot = (((py // _BLK) * tiles_x + px // _BLK) * (_BLK * _BLK)
+                + (py % _BLK) * _BLK + (px % _BLK))
+        _slot_cache[key] = jnp.asarray(slot.reshape(-1), jnp.int32)
+    return _slot_cache[key]
 
 
 def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
                            spp: int, max_depth: int,
-                           sample_offset=0,
+                           sample_offset=0, tile_rows: int = TILE_ROWS,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Whole-image render pass in ONE kernel launch: in-kernel ray
     generation, spp loop, and bounce loop.  Returns the radiance SUM
@@ -499,11 +574,45 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_pix = width * height
-    rows = (-(-n_pix // TILE_R)) * TILE_ROWS
+    tiles_x = -(-width // _BLK)
+    tiles_y = -(-height // _BLK)
+    n_slots = tiles_x * tiles_y * _BLK * _BLK
+    tile_r = tile_rows * TILE_LANES
+    rows = (-(-n_slots // tile_r)) * tile_rows
 
     tab = pack_joined_table(scene)
     qtab = pack_quad_table(scene)
     n_quads = qtab.shape[0] if "quads" in scene.features else 0
+
+    # SAH cluster culling (native C++ builder with NumPy fallback) pays off
+    # once the sphere loop dominates; swept bounds cover motion blur.
+    n_spheres = tab.shape[0]
+    if n_spheres >= 64:
+        import numpy as np
+
+        from ..native import build_sphere_clusters
+
+        cen = np.asarray(scene.sph_center, np.float32)
+        vel = np.asarray(scene.sph_cvel, np.float32)
+        rad = np.abs(np.asarray(scene.sph_radius, np.float32))
+        rad = np.where(np.asarray(scene.sph_mask) > 0, rad, 0.0)
+        cmid = cen + 0.5 * vel
+        rswept = rad + 0.5 * np.linalg.norm(vel, axis=-1)
+        order, cl_start, cl_min, cl_max = build_sphere_clusters(
+            cmid, rswept, max_leaf=32)  # measured optimum on the 489-sphere
+        # flagship: 8 -> 9.8, 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
+        tab = tab[jnp.asarray(order)]
+        n_clusters = cl_start.shape[0] - 1
+        clb = jnp.asarray(
+            np.concatenate(
+                [cl_min, cl_max, np.zeros((n_clusters, 2), np.float32)],
+                axis=1))
+        cls = jnp.asarray(cl_start, dtype=jnp.int32)
+    else:
+        n_clusters = 0
+        clb = jnp.zeros((1, 8), _F32)
+        cls = jnp.zeros(2, jnp.int32)
+
     cam_u = jnp.concatenate([
         cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
         cam.defocus_disk_u, cam.defocus_disk_v, jnp.zeros(2, _F32),
@@ -513,10 +622,12 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, qtab, cam_u, seed, bg, n_quads=n_quads,
+        tab, qtab, clb, cls, cam_u, seed, bg, n_quads=n_quads,
+        n_clusters=n_clusters,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
-        defocus=cam.lens_radius_gt0, rows=rows, interpret=interpret,
+        defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
+        interpret=interpret,
     )
     img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)
-    return img[:n_pix].reshape(height, width, 3)
+    return img[_unswizzle_index(width, height)].reshape(height, width, 3)

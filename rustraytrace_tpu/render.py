@@ -62,11 +62,6 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     return trace(k_path, o, d, time, scene, cam.background, opts)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "integrator",
-                     "chunk", "stratified", "sqrt_spp", "backend"),
-)
 def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
                 width: int, height: int, spp: int, max_depth: int,
                 integrator: str = "path", chunk: int = 65536,
@@ -78,6 +73,10 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     ``sample_offset`` shifts the per-sample RNG stream (for multi-pass and
     spp-sharded accumulation); stratification indexes the sqrt_spp x sqrt_spp
     sub-pixel grid by absolute sample index (camera.rs:173-177, book 3).
+
+    The megakernel backend dispatches OUTSIDE jit: its host-side SAH
+    clustering needs concrete scene arrays; everything device-side inside it
+    is jitted.
     """
     if backend == "megakernel":
         from .ops.pallas_megakernel import render_pass_megakernel
@@ -86,7 +85,24 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
         )
+    return _render_pass_xla(
+        scene, cam, key, width=width, height=height, spp=spp,
+        max_depth=max_depth, integrator=integrator, chunk=chunk,
+        stratified=stratified, sqrt_spp=sqrt_spp,
+        sample_offset=sample_offset, backend=backend,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "integrator",
+                     "chunk", "stratified", "sqrt_spp", "backend"),
+)
+def _render_pass_xla(scene: Scene, cam: CameraParams, key: jax.Array, *,
+                     width: int, height: int, spp: int, max_depth: int,
+                     integrator: str, chunk: int, stratified: bool,
+                     sqrt_spp: int, sample_offset,
+                     backend: str) -> jnp.ndarray:
     n_pix = width * height
     n_pad = _ceil_to(n_pix, chunk)
     n_chunks = n_pad // chunk
