@@ -64,7 +64,10 @@ J_KIND = 8
 J_AR, J_AG, J_AB = 9, 10, 11
 J_FUZZ = 12
 J_IOR = 13
-J_COLS = 16
+J_TEXK = 14  # 0 solid / 1 checker (texture.rs:63-77)
+J_C2R, J_C2G, J_C2B = 15, 16, 17
+J_INVS = 18  # checker inv_scale
+J_COLS = 24
 
 
 # quad SMEM table columns (quad.rs:23-43 precomputed frame)
@@ -78,12 +81,15 @@ Q_KIND = 16
 Q_AR, Q_AG, Q_AB = 17, 18, 19
 Q_FUZZ = 20
 Q_IOR = 21
-Q_COLS = 24
+Q_TEXK = 22
+Q_C2R, Q_C2G, Q_C2B = 23, 24, 25
+Q_INVS = 26
+Q_COLS = 32
 
 
 def megakernel_eligible(scene: Scene) -> bool:
     feats = set(scene.features)
-    return not feats & {"media", "image", "noise", "checker"}
+    return not feats & {"media", "image", "noise"}
 
 
 def pack_joined_table(scene: Scene) -> jnp.ndarray:
@@ -100,6 +106,10 @@ def pack_joined_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, J_AR:J_AB + 1].set(scene.tex_color1[scene.mat_tex[mat]])
     tab = tab.at[:, J_FUZZ].set(scene.mat_fuzz[mat])
     tab = tab.at[:, J_IOR].set(scene.mat_ior[mat])
+    mtex = scene.mat_tex[mat]
+    tab = tab.at[:, J_TEXK].set(scene.tex_kind[mtex].astype(_F32))
+    tab = tab.at[:, J_C2R:J_C2B + 1].set(scene.tex_color2[mtex])
+    tab = tab.at[:, J_INVS].set(scene.tex_inv_scale[mtex])
     return tab
 
 
@@ -129,6 +139,10 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, Q_AR:Q_AB + 1].set(scene.tex_color1[scene.mat_tex[mat]])
     tab = tab.at[:, Q_FUZZ].set(scene.mat_fuzz[mat])
     tab = tab.at[:, Q_IOR].set(scene.mat_ior[mat])
+    mtex = scene.mat_tex[mat]
+    tab = tab.at[:, Q_TEXK].set(scene.tex_kind[mtex].astype(_F32))
+    tab = tab.at[:, Q_C2R:Q_C2B + 1].set(scene.tex_color2[mtex])
+    tab = tab.at[:, Q_INVS].set(scene.tex_inv_scale[mtex])
     return tab
 
 
@@ -145,7 +159,8 @@ _BLK = 32  # screen-space swizzle block (32x32 pixels = 1024 consecutive slots)
 
 def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  max_depth: int, sky_bg: bool, spp: int, width: int,
-                 height: int, defocus: bool, tile_rows: int):
+                 height: int, defocus: bool, tile_rows: int,
+                 has_checker: bool):
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
@@ -175,7 +190,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
             def body(s, carry):
-                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry
+                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
                 cx = tab_ref[s, J_CX]
                 cy = tab_ref[s, J_CY]
                 cz = tab_ref[s, J_CZ]
@@ -198,7 +213,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                         & (root < bt))
                 inv_r = tab_ref[s, J_INVR]
                 # outward normal = (p - c)/r = (root*d - oc)/r
-                return (
+                out = (
                     jnp.where(take, root, bt),
                     jnp.where(take, tab_ref[s, J_KIND], kind),
                     jnp.where(take, tab_ref[s, J_AR], ar),
@@ -210,9 +225,21 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, (root * dy - ocy) * inv_r, ny),
                     jnp.where(take, (root * dz - ocz) * inv_r, nz),
                 )
+                if has_checker:
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    out = out + (
+                        jnp.where(take, tab_ref[s, J_TEXK], tk),
+                        jnp.where(take, tab_ref[s, J_C2R], c2r),
+                        jnp.where(take, tab_ref[s, J_C2G], c2g),
+                        jnp.where(take, tab_ref[s, J_C2B], c2b),
+                        jnp.where(take, tab_ref[s, J_INVS], ivs),
+                    )
+                return out
 
             init = (jnp.full(shape, _BIG, _F32), zeros, zeros, zeros, zeros,
                     zeros, ones, zeros, zeros, ones)
+            if has_checker:
+                init = init + (zeros, zeros, zeros, zeros, zeros)
             if use_clusters:
                 # SAH-cluster culling: test the cluster AABB against the
                 # whole ray tile; only descend into its spheres if ANY lane
@@ -256,7 +283,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 carry = jax.lax.fori_loop(0, n_spheres, body, init)
 
             def qbody(qi, carry):
-                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry
+                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
                 # plane hit + planar-coords interior test (quad.rs:59-88)
                 nqx = qtab_ref[qi, Q_NX]
                 nqy = qtab_ref[qi, Q_NY]
@@ -289,7 +316,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                         & (alpha >= 0.0) & (alpha <= 1.0)
                         & (beta >= 0.0) & (beta <= 1.0)
                         & (tq < bt))
-                return (
+                out = (
                     jnp.where(take, tq, bt),
                     jnp.where(take, qtab_ref[qi, Q_KIND], kind),
                     jnp.where(take, qtab_ref[qi, Q_AR], ar),
@@ -301,6 +328,16 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, nqy + zeros, ny),
                     jnp.where(take, nqz + zeros, nz),
                 )
+                if has_checker:
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    out = out + (
+                        jnp.where(take, qtab_ref[qi, Q_TEXK], tk),
+                        jnp.where(take, qtab_ref[qi, Q_C2R], c2r),
+                        jnp.where(take, qtab_ref[qi, Q_C2G], c2g),
+                        jnp.where(take, qtab_ref[qi, Q_C2B], c2b),
+                        jnp.where(take, qtab_ref[qi, Q_INVS], ivs),
+                    )
+                return out
 
             if n_quads:
                 carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
@@ -311,8 +348,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
              alive) = state
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
-            (t, kind, car, cag, cab, fz, io, owx, owy, owz) = intersect(
-                tm, ox, oy, oz, dx, dy, dz, a, inv_a)
+            hitres = intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a)
+            (t, kind, car, cag, cab, fz, io, owx, owy, owz) = hitres[:10]
             hit = t < _BIG
 
             # background on miss (renderer.wgsl:233-239)
@@ -335,6 +372,18 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             px_ = ox + t * dx
             py_ = oy + t * dy
             pz_ = oz + t * dz
+
+            if has_checker:
+                # 3-D lattice parity (texture.rs:63-77): odd cells take c2
+                (tk, c2r, c2g, c2b, ivs) = hitres[10:]
+                csum = (jnp.floor(ivs * px_).astype(jnp.int32)
+                        + jnp.floor(ivs * py_).astype(jnp.int32)
+                        + jnp.floor(ivs * pz_).astype(jnp.int32))
+                odd = (csum % 2) != 0
+                use2 = (tk > 0.5) & odd
+                car = jnp.where(use2, c2r, car)
+                cag = jnp.where(use2, c2g, cag)
+                cab = jnp.where(use2, c2b, cab)
 
             d_dot_ow = dx * owx + dy * owy + dz * owz
             front = d_dot_ow < 0.0
@@ -507,13 +556,13 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     jax.jit,
     static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
-                     "tile_rows", "interpret"),
+                     "tile_rows", "has_checker", "interpret"),
 )
 def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
                     n_clusters: int, moving: bool, max_depth: int,
                     sky_bg: bool, spp: int, width: int, height: int,
                     defocus: bool, rows: int, tile_rows: int,
-                    interpret: bool):
+                    has_checker: bool, interpret: bool):
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -522,7 +571,8 @@ def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
                                      memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
-                     sky_bg, spp, width, height, defocus, tile_rows),
+                     sky_bg, spp, width, height, defocus, tile_rows,
+                     has_checker),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -627,7 +677,7 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
-        interpret=interpret,
+        has_checker="checker" in scene.features, interpret=interpret,
     )
     img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)
     return img[_unswizzle_index(width, height)].reshape(height, width, 3)
