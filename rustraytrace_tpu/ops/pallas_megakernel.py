@@ -146,6 +146,69 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     return tab
 
 
+# light SMEM table columns (book-3 NEE targets)
+L_KIND = 0  # 0 quad / 1 sphere
+L_QX, L_QY, L_QZ = 1, 2, 3
+L_UX, L_UY, L_UZ = 4, 5, 6
+L_VX, L_VY, L_VZ = 7, 8, 9
+L_WX, L_WY, L_WZ = 10, 11, 12
+L_NX, L_NY, L_NZ = 13, 14, 15
+L_DP = 16
+L_AREA = 17
+L_CX, L_CY, L_CZ = 18, 19, 20
+L_RAD = 21
+L_COLS = 24
+
+
+def pack_light_table(scene: Scene):
+    """[L_active, 24] f32 numpy table of the book-3 NEE light list
+    (the_rest_of_your_life/mod.rs:128-140)."""
+    import numpy as np
+
+    mask = np.asarray(scene.light_mask) > 0
+    kinds = np.asarray(scene.light_kind)[mask]
+    q = np.asarray(scene.light_q)[mask]
+    u = np.asarray(scene.light_u)[mask]
+    v = np.asarray(scene.light_v)[mask]
+    c = np.asarray(scene.light_center)[mask]
+    r = np.asarray(scene.light_radius)[mask]
+    L = kinds.shape[0]
+    tab = np.zeros((max(L, 1), L_COLS), np.float32)
+    if L:
+        n = np.cross(u, v)
+        nn = np.maximum((n * n).sum(-1, keepdims=True), 1e-30)
+        w = n / nn
+        area = np.sqrt(nn[:, 0])
+        nhat = n / np.sqrt(nn)
+        tab[:L, L_KIND] = kinds
+        tab[:L, L_QX:L_QZ + 1] = q
+        tab[:L, L_UX:L_UZ + 1] = u
+        tab[:L, L_VX:L_VZ + 1] = v
+        tab[:L, L_WX:L_WZ + 1] = w
+        tab[:L, L_NX:L_NZ + 1] = nhat
+        tab[:L, L_DP] = (nhat * q).sum(-1)
+        tab[:L, L_AREA] = area
+        tab[:L, L_CX:L_CZ + 1] = c
+        tab[:L, L_RAD] = r
+    return tab, L
+
+
+def megakernel_mis_eligible(scene: Scene) -> bool:
+    """Book-3 MIS in-kernel: megakernel-eligible scene + 1..4 NEE lights +
+    no isotropic materials (media are already excluded)."""
+    import numpy as np
+
+    if not megakernel_eligible(scene):
+        return False
+    n_lights = int(np.asarray(jnp.sum(scene.light_mask)))
+    if not (1 <= n_lights <= 4):
+        return False
+    used = set(np.asarray(scene.mat_kind).tolist())
+    from ..scene import ISOTROPIC
+
+    return ISOTROPIC not in used
+
+
 def _uniform(shape):
     # prng_random_bits yields int32; mask to the low 23 bits (always
     # non-negative — an arithmetic >> of negative bits would yield negative
@@ -160,13 +223,15 @@ _BLK = 32  # screen-space swizzle block (32x32 pixels = 1024 consecutive slots)
 def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  max_depth: int, sky_bg: bool, spp: int, width: int,
                  height: int, defocus: bool, tile_rows: int,
-                 has_checker: bool):
+                 has_checker: bool, mis: bool = False, n_lights: int = 0,
+                 stratified: bool = False, sqrt_spp: int = 0):
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
+    inv_pi = 0.3183098861837907
 
-    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, cam_ref, seed_ref,
-               bg_ref, rx_ref, ry_ref, rz_ref):
+    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, cam_ref,
+               seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -392,9 +457,11 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             ny = sgn * owy
             nz = sgn * owz
 
-            # emission (DiffuseLight adds, then dies)
+            # emission (DiffuseLight adds, then dies); book 3 gates on
+            # front_face (the_rest_of_your_life/material.rs:154-161)
             is_light = kind == float(DIFFUSE_LIGHT)
-            lf = alive * jnp.where(is_light, 1.0, 0.0)
+            emit_gate = is_light & front if mis else is_light
+            lf = alive * jnp.where(emit_gate, 1.0, 0.0)
             rx = rx + lf * ax * car
             ry = ry + lf * ay * cag
             rz = rz + lf * az * cab
@@ -463,32 +530,217 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             is_met = kind == float(METAL)
             is_die = kind == float(DIELECTRIC)
 
-            ndx = jnp.where(is_met, mx, jnp.where(is_die, ex, lx))
-            ndy = jnp.where(is_met, my, jnp.where(is_die, ey, ly))
-            ndz = jnp.where(is_met, mz, jnp.where(is_die, ez, lz))
+            if not mis:
+                ndx = jnp.where(is_met, mx, jnp.where(is_die, ex, lx))
+                ndy = jnp.where(is_met, my, jnp.where(is_die, ey, ly))
+                ndz = jnp.where(is_met, mz, jnp.where(is_die, ez, lz))
 
-            atr = jnp.where(is_die, 1.0, car)
-            atg = jnp.where(is_die, 1.0, cag)
-            atb = jnp.where(is_die, 1.0, cab)
+                atr = jnp.where(is_die, 1.0, car)
+                atg = jnp.where(is_die, 1.0, cag)
+                atb = jnp.where(is_die, 1.0, cab)
 
-            alive = alive * jnp.where(is_met & ~met_ok, 0.0, 1.0)
-            live = alive > 0.0
-            ax = ax * jnp.where(live, atr, 1.0)
-            ay = ay * jnp.where(live, atg, 1.0)
-            az = az * jnp.where(live, atb, 1.0)
+                alive = alive * jnp.where(is_met & ~met_ok, 0.0, 1.0)
+                live = alive > 0.0
+                ax = ax * jnp.where(live, atr, 1.0)
+                ay = ay * jnp.where(live, atg, 1.0)
+                az = az * jnp.where(live, atb, 1.0)
 
-            # Russian roulette (renderer.wgsl:225-231)
-            if max_depth > RR_START_BOUNCE:
-                do_rr = b >= RR_START_BOUNCE
-                pmax = jnp.maximum(ax, jnp.maximum(ay, az))
-                p = jnp.clip(pmax, RR_P_MIN, RR_P_MAX)
-                survive = u4 <= p
-                if_rr_killed = do_rr & ~survive
-                alive = alive * jnp.where(if_rr_killed, 0.0, 1.0)
-                scale = jnp.where(do_rr & (alive > 0.0), 1.0 / p, 1.0)
-                ax = ax * scale
-                ay = ay * scale
-                az = az * scale
+                # Russian roulette (renderer.wgsl:225-231)
+                if max_depth > RR_START_BOUNCE:
+                    do_rr = b >= RR_START_BOUNCE
+                    pmax = jnp.maximum(ax, jnp.maximum(ay, az))
+                    p = jnp.clip(pmax, RR_P_MIN, RR_P_MAX)
+                    survive = u4 <= p
+                    if_rr_killed = do_rr & ~survive
+                    alive = alive * jnp.where(if_rr_killed, 0.0, 1.0)
+                    scale = jnp.where(do_rr & (alive > 0.0), 1.0 / p, 1.0)
+                    ax = ax * scale
+                    ay = ay * scale
+                    az = az * scale
+            else:
+                # ---- book-3 NEE/MIS estimator in-kernel
+                #      (the_rest_of_your_life/camera.rs:184-254) ----
+                # RR from the PER-HIT attenuation, folded into both branches'
+                # denominators (camera.rs:223-237)
+                if max_depth > RR_START_BOUNCE:
+                    do_rr = b >= RR_START_BOUNCE
+                    pmax = jnp.maximum(car, jnp.maximum(cag, cab))
+                    prr = jnp.clip(pmax, RR_P_MIN, RR_P_MAX)
+                    rr_prob = jnp.where(do_rr, prr, 1.0)
+                    alive = alive * jnp.where(do_rr & (u4 > prr), 0.0, 1.0)
+                else:
+                    rr_prob = ones
+
+                spec = is_met | is_die
+                sdx = jnp.where(is_met, mx, ex)
+                sdy = jnp.where(is_met, my, ey)
+                sdz = jnp.where(is_met, mz, ez)
+                inv_rr = 1.0 / rr_prob
+                swr = jnp.where(is_die, 1.0, car) * inv_rr
+                swg = jnp.where(is_die, 1.0, cag) * inv_rr
+                swb = jnp.where(is_die, 1.0, cab) * inv_rr
+
+                u5 = _uniform(shape)
+                u6 = _uniform(shape)
+                u7 = _uniform(shape)
+                u8 = _uniform(shape)
+                u9 = _uniform(shape)
+                u10 = _uniform(shape)
+
+                def onb(wx, wy, wz):
+                    # onb.rs:8-18 branchless: helper axis by |w.x| > 0.9
+                    big = jnp.abs(wx) > 0.9
+                    hx = jnp.where(big, 0.0, 1.0)
+                    hy = jnp.where(big, 1.0, 0.0)
+                    # v = normalize(cross(w, h)), h = (hx, hy, 0)
+                    cx_ = -wz * hy
+                    cy_ = wz * hx
+                    cz_ = wx * hy - wy * hx
+                    inv = jax.lax.rsqrt(
+                        jnp.maximum(cx_ * cx_ + cy_ * cy_ + cz_ * cz_, 1e-30))
+                    vx_, vy_, vz_ = cx_ * inv, cy_ * inv, cz_ * inv
+                    # u = cross(w, v)
+                    ux_ = wy * vz_ - wz * vy_
+                    uy_ = wz * vx_ - wx * vz_
+                    uz_ = wx * vy_ - wy * vx_
+                    return ux_, uy_, uz_, vx_, vy_, vz_
+
+                # cosine-weighted material direction (vec3.rs:212-221)
+                bu_x, bu_y, bu_z, bv_x, bv_y, bv_z = onb(nx, ny, nz)
+                phi2 = _TWO_PI * u5
+                sq6 = jnp.sqrt(u6)
+                cl_x = jnp.cos(phi2) * sq6
+                cl_y = jnp.sin(phi2) * sq6
+                cl_z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u6))
+                mdx = cl_x * bu_x + cl_y * bv_x + cl_z * nx
+                mdy = cl_x * bu_y + cl_y * bv_y + cl_z * ny
+                mdz = cl_x * bu_z + cl_y * bv_z + cl_z * nz
+
+                # per-light sampled directions (HittableList::random,
+                # hittable_list.rs:71-75)
+                ldirs = []
+                for l in range(n_lights):
+                    kl = ltab_ref[l, L_KIND]
+                    qdx = (ltab_ref[l, L_QX] + u7 * ltab_ref[l, L_UX]
+                           + u8 * ltab_ref[l, L_VX] - px_)
+                    qdy = (ltab_ref[l, L_QY] + u7 * ltab_ref[l, L_UY]
+                           + u8 * ltab_ref[l, L_VY] - py_)
+                    qdz = (ltab_ref[l, L_QZ] + u7 * ltab_ref[l, L_UZ]
+                           + u8 * ltab_ref[l, L_VZ] - pz_)
+                    # sphere cone sample (sphere.rs:55-65)
+                    tcx = ltab_ref[l, L_CX] - px_
+                    tcy = ltab_ref[l, L_CY] - py_
+                    tcz = ltab_ref[l, L_CZ] - pz_
+                    d2 = jnp.maximum(tcx * tcx + tcy * tcy + tcz * tcz, 1e-30)
+                    rl = ltab_ref[l, L_RAD]
+                    cmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - rl * rl / d2))
+                    zc = 1.0 + u8 * (cmax - 1.0)
+                    phl = _TWO_PI * u7
+                    sc = jnp.sqrt(jnp.maximum(0.0, 1.0 - zc * zc))
+                    idl = jax.lax.rsqrt(d2)
+                    w2x, w2y, w2z = tcx * idl, tcy * idl, tcz * idl
+                    s_ux, s_uy, s_uz, s_vx, s_vy, s_vz = onb(w2x, w2y, w2z)
+                    csl = jnp.cos(phl) * sc
+                    snl = jnp.sin(phl) * sc
+                    sdx_l = csl * s_ux + snl * s_vx + zc * w2x
+                    sdy_l = csl * s_uy + snl * s_vy + zc * w2y
+                    sdz_l = csl * s_uz + snl * s_vz + zc * w2z
+                    is_q = kl < 0.5
+                    ldirs.append((jnp.where(is_q, qdx, sdx_l),
+                                  jnp.where(is_q, qdy, sdy_l),
+                                  jnp.where(is_q, qdz, sdz_l)))
+                ldx, ldy, ldz = ldirs[0]
+                for l in range(1, n_lights):
+                    pickl = u9 * n_lights >= l
+                    ldx = jnp.where(pickl, ldirs[l][0], ldx)
+                    ldy = jnp.where(pickl, ldirs[l][1], ldy)
+                    ldz = jnp.where(pickl, ldirs[l][2], ldz)
+
+                # 50/50 mixture (MixturePdf::generate, pdf.rs:93-99)
+                use_l = u10 < 0.5
+                gdx = jnp.where(use_l, ldx, mdx)
+                gdy = jnp.where(use_l, ldy, mdy)
+                gdz = jnp.where(use_l, ldz, mdz)
+                g2 = jnp.maximum(gdx * gdx + gdy * gdy + gdz * gdz, 1e-30)
+                ginv = jax.lax.rsqrt(g2)
+                cos_th = (nx * gdx + ny * gdy + nz * gdz) * ginv
+                cpdf = jnp.maximum(cos_th, 0.0) * inv_pi  # pdf.rs:41-49
+
+                # mixture pdf value: mean over lights of pdf(dir)
+                # (hittable_list.rs:60-69)
+                lp = zeros
+                for l in range(n_lights):
+                    kl = ltab_ref[l, L_KIND]
+                    # quad area pdf (quad.rs:92-102)
+                    dn = (ltab_ref[l, L_NX] * gdx + ltab_ref[l, L_NY] * gdy
+                          + ltab_ref[l, L_NZ] * gdz)
+                    safe = jnp.where(jnp.abs(dn) < 1e-8, 1.0, dn)
+                    ndp = (ltab_ref[l, L_NX] * px_ + ltab_ref[l, L_NY] * py_
+                           + ltab_ref[l, L_NZ] * pz_)
+                    tq = (ltab_ref[l, L_DP] - ndp) / safe
+                    hx_ = px_ + tq * gdx - ltab_ref[l, L_QX]
+                    hy_ = py_ + tq * gdy - ltab_ref[l, L_QY]
+                    hz_ = pz_ + tq * gdz - ltab_ref[l, L_QZ]
+                    lux, luy, luz = (ltab_ref[l, L_UX], ltab_ref[l, L_UY],
+                                     ltab_ref[l, L_UZ])
+                    lvx, lvy, lvz = (ltab_ref[l, L_VX], ltab_ref[l, L_VY],
+                                     ltab_ref[l, L_VZ])
+                    lwx, lwy, lwz = (ltab_ref[l, L_WX], ltab_ref[l, L_WY],
+                                     ltab_ref[l, L_WZ])
+                    alp = (lwx * (hy_ * lvz - hz_ * lvy)
+                           + lwy * (hz_ * lvx - hx_ * lvz)
+                           + lwz * (hx_ * lvy - hy_ * lvx))
+                    bet = (lwx * (luy * hz_ - luz * hy_)
+                           + lwy * (luz * hx_ - lux * hz_)
+                           + lwz * (lux * hy_ - luy * hx_))
+                    okq = ((jnp.abs(dn) >= 1e-8) & (tq > T_MIN) & (tq < T_MAX)
+                           & (alp >= 0.0) & (alp <= 1.0)
+                           & (bet >= 0.0) & (bet <= 1.0))
+                    cosq = jnp.abs(dn) * ginv
+                    pdfq = jnp.where(
+                        okq,
+                        tq * tq * g2 / jnp.maximum(
+                            cosq * ltab_ref[l, L_AREA], 1e-30),
+                        0.0)
+                    # sphere solid-angle pdf (sphere.rs:102-115)
+                    ocx2 = ltab_ref[l, L_CX] - px_
+                    ocy2 = ltab_ref[l, L_CY] - py_
+                    ocz2 = ltab_ref[l, L_CZ] - pz_
+                    hq = gdx * ocx2 + gdy * ocy2 + gdz * ocz2
+                    rl = ltab_ref[l, L_RAD]
+                    cq = (ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - rl * rl)
+                    disc2 = hq * hq - g2 * cq
+                    sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                    inv_g2 = 1.0 / g2
+                    tn2 = (hq - sq2) * inv_g2
+                    tf2 = (hq + sq2) * inv_g2
+                    rt2 = jnp.where((tn2 > T_MIN) & (tn2 < T_MAX), tn2, tf2)
+                    oks = (disc2 > 0.0) & (rt2 > T_MIN) & (rt2 < T_MAX)
+                    d2s = jnp.maximum(
+                        ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2, 1e-30)
+                    cmax2 = jnp.sqrt(
+                        jnp.maximum(0.0, 1.0 - rl * rl / d2s))
+                    sang = _TWO_PI * (1.0 - cmax2)
+                    pdfs = jnp.where(oks, 1.0 / jnp.maximum(sang, 1e-30), 0.0)
+                    lp = lp + jnp.where(kl < 0.5, pdfq, pdfs)
+                lp = lp * (1.0 / n_lights)
+                pdfv = 0.5 * lp + 0.5 * cpdf  # pdf.rs:88-91
+                ok_diff = pdfv > 0.0
+
+                # L = atten * scattering_pdf / (pdf * rr)  (camera.rs:248-253)
+                dw_den = 1.0 / jnp.maximum(pdfv * rr_prob, 1e-30)
+                dwr = car * cpdf * dw_den
+                dwg = cag * cpdf * dw_den
+                dwb = cab * cpdf * dw_den
+
+                ndx = jnp.where(spec, sdx, gdx)
+                ndy = jnp.where(spec, sdy, gdy)
+                ndz = jnp.where(spec, sdz, gdz)
+                alive = alive * jnp.where(spec | ok_diff, 1.0, 0.0)
+                live = alive > 0.0
+                ax = ax * jnp.where(live, jnp.where(spec, swr, dwr), 1.0)
+                ay = ay * jnp.where(live, jnp.where(spec, swg, dwg), 1.0)
+                az = az * jnp.where(live, jnp.where(spec, swb, dwb), 1.0)
 
             live = alive > 0.0
             ox = jnp.where(live, px_, ox)
@@ -511,8 +763,18 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # sub-pixel sample + optional defocus-disk origin; time in [0,1)
             u1 = _uniform(shape)
             u2 = _uniform(shape)
-            jx = px + (u1 - 0.5)
-            jy = py + (u2 - 0.5)
+            if stratified:
+                # sqrt_spp x sqrt_spp sub-pixel grid indexed by the absolute
+                # sample id (the_rest_of_your_life/camera.rs:114-116,173-177)
+                s_abs = s + seed_ref[1]
+                s_i = (s_abs % sqrt_spp).astype(_F32)
+                s_j = (s_abs // sqrt_spp).astype(_F32)
+                recip = 1.0 / sqrt_spp
+                jx = px + ((s_i + u1) * recip - 0.5)
+                jy = py + ((s_j + u2) * recip - 0.5)
+            else:
+                jx = px + (u1 - 0.5)
+                jy = py + (u2 - 0.5)
             psx = cam_ref[3] + jx * cam_ref[6] + jy * cam_ref[9]
             psy = cam_ref[4] + jx * cam_ref[7] + jy * cam_ref[10]
             psz = cam_ref[5] + jx * cam_ref[8] + jy * cam_ref[11]
@@ -556,13 +818,15 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     jax.jit,
     static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
-                     "tile_rows", "has_checker", "interpret"),
+                     "tile_rows", "has_checker", "mis", "n_lights",
+                     "stratified", "sqrt_spp", "interpret"),
 )
-def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
-                    n_clusters: int, moving: bool, max_depth: int,
-                    sky_bg: bool, spp: int, width: int, height: int,
-                    defocus: bool, rows: int, tile_rows: int,
-                    has_checker: bool, interpret: bool):
+def _megakernel_raw(tab, qtab, clb, cls, ltab, cam_u, seed, bg, *,
+                    n_quads: int, n_clusters: int, moving: bool,
+                    max_depth: int, sky_bg: bool, spp: int, width: int,
+                    height: int, defocus: bool, rows: int, tile_rows: int,
+                    has_checker: bool, mis: bool, n_lights: int,
+                    stratified: bool, sqrt_spp: int, interpret: bool):
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -572,7 +836,8 @@ def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
     return pl.pallas_call(
         _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
                      sky_bg, spp, width, height, defocus, tile_rows,
-                     has_checker),
+                     has_checker, mis=mis, n_lights=n_lights,
+                     stratified=stratified, sqrt_spp=sqrt_spp),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -580,13 +845,14 @@ def _megakernel_raw(tab, qtab, clb, cls, cam_u, seed, bg, *, n_quads: int,
             smem(qtab.shape[0], Q_COLS),
             smem(clb.shape[0], 8),
             smem(cls.shape[0]),
+            smem(ltab.shape[0], L_COLS),
             smem(20),
-            smem(1),
+            smem(2),
             smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, clb, cls, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, ltab, cam_u, seed, bg)
 
 
 _slot_cache: dict = {}
@@ -609,6 +875,8 @@ def _unswizzle_index(width: int, height: int):
 def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
                            spp: int, max_depth: int,
                            sample_offset=0, tile_rows: int = TILE_ROWS,
+                           mis: bool = False, stratified: bool = False,
+                           sqrt_spp: int = 0,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Whole-image render pass in ONE kernel launch: in-kernel ray
     generation, spp loop, and bounce loop.  Returns the radiance SUM
@@ -667,17 +935,30 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
         cam.defocus_disk_u, cam.defocus_disk_v, jnp.zeros(2, _F32),
     ]).astype(_F32)
+    import numpy as np
+
+    if mis:
+        ltab_np, n_lights = pack_light_table(scene)
+        ltab = jnp.asarray(ltab_np)
+    else:
+        n_lights = 0
+        ltab = jnp.zeros((1, L_COLS), _F32)
+
     key = jax.random.fold_in(key, sample_offset)
-    seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1]
+    seed = jnp.concatenate([
+        jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1],
+        jnp.asarray(sample_offset, jnp.int32).reshape(1),
+    ])
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, qtab, clb, cls, cam_u, seed, bg, n_quads=n_quads,
+        tab, qtab, clb, cls, ltab, cam_u, seed, bg, n_quads=n_quads,
         n_clusters=n_clusters,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
-        has_checker="checker" in scene.features, interpret=interpret,
+        has_checker="checker" in scene.features, mis=mis, n_lights=n_lights,
+        stratified=stratified, sqrt_spp=sqrt_spp, interpret=interpret,
     )
     img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)
     return img[_unswizzle_index(width, height)].reshape(height, width, 3)

@@ -84,6 +84,8 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
+            mis=integrator == "mis", stratified=stratified,
+            sqrt_spp=sqrt_spp,
         )
     return _render_pass_xla(
         scene, cam, key, width=width, height=height, spp=spp,
@@ -157,10 +159,14 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
     from .ops.pallas_hit import sphere_kernel_eligible
     from .ops.pallas_megakernel import megakernel_eligible
 
+    from .ops.pallas_megakernel import megakernel_mis_eligible
+
     on_tpu = jax.default_backend() == "tpu"
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
     # the closest-hit kernel runs everywhere (interpret mode on CPU)
     if integrator == "path" and on_tpu and megakernel_eligible(scene):
+        return "megakernel"
+    if integrator == "mis" and on_tpu and megakernel_mis_eligible(scene):
         return "megakernel"
     if integrator == "path" and sphere_kernel_eligible(scene):
         return "sphere_kernel"
