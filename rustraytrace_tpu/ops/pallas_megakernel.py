@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene import Scene, LAMBERTIAN, METAL, DIELECTRIC, DIFFUSE_LIGHT, TEX_SOLID
+from ..scene import Scene, LAMBERTIAN, METAL, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC, TEX_SOLID
 from .intersect import T_MIN, T_MAX
 
 _BIG = 1.0e30
@@ -89,7 +89,7 @@ Q_COLS = 32
 
 def megakernel_eligible(scene: Scene) -> bool:
     feats = set(scene.features)
-    return not feats & {"media", "image", "noise"}
+    return not feats & {"image", "noise"}
 
 
 def pack_joined_table(scene: Scene) -> jnp.ndarray:
@@ -144,6 +144,56 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, Q_C2R:Q_C2B + 1].set(scene.tex_color2[mtex])
     tab = tab.at[:, Q_INVS].set(scene.tex_inv_scale[mtex])
     return tab
+
+
+# constant-medium SMEM table columns (constant_medium.rs)
+M_KIND = 0  # 0 sphere / 1 oriented box
+M_CX, M_CY, M_CZ = 1, 2, 3  # center (sphere) / offset (box)
+M_R2 = 4
+M_NID = 5  # neg_inv_density
+M_AR, M_AG, M_AB = 6, 7, 8  # isotropic phase albedo
+M_COS, M_SIN = 9, 10
+M_LOX, M_LOY, M_LOZ = 11, 12, 13
+M_HIX, M_HIY, M_HIZ = 14, 15, 16
+M_COLS = 24
+
+
+def pack_media_table(scene: Scene):
+    """[M, 24] f32 numpy table of active constant media (spheres + oriented
+    boxes); masked rows are made unhittable (sphere r2=-BIG, box lo>hi)."""
+    import numpy as np
+
+    rows = []
+    kmask = np.asarray(scene.msph_mask) > 0
+    for k in np.nonzero(kmask)[0]:
+        r = np.zeros(M_COLS, np.float32)
+        r[M_KIND] = 0.0
+        r[M_CX:M_CZ + 1] = np.asarray(scene.msph_center)[k]
+        rad = float(np.asarray(scene.msph_radius)[k])
+        r[M_R2] = rad * rad
+        r[M_NID] = float(np.asarray(scene.msph_neg_inv_density)[k])
+        mat = int(np.asarray(scene.msph_mat)[k])
+        r[M_AR:M_AB + 1] = np.asarray(scene.tex_color1)[
+            int(np.asarray(scene.mat_tex)[mat])]
+        rows.append(r)
+    bmask = np.asarray(scene.mbox_mask) > 0
+    for b in np.nonzero(bmask)[0]:
+        r = np.zeros(M_COLS, np.float32)
+        r[M_KIND] = 1.0
+        r[M_CX:M_CZ + 1] = np.asarray(scene.mbox_offset)[b]
+        r[M_COS] = float(np.asarray(scene.mbox_cos)[b])
+        r[M_SIN] = float(np.asarray(scene.mbox_sin)[b])
+        r[M_LOX:M_LOZ + 1] = np.asarray(scene.mbox_lo)[b]
+        r[M_HIX:M_HIZ + 1] = np.asarray(scene.mbox_hi)[b]
+        r[M_NID] = float(np.asarray(scene.mbox_neg_inv_density)[b])
+        mat = int(np.asarray(scene.mbox_mat)[b])
+        r[M_AR:M_AB + 1] = np.asarray(scene.tex_color1)[
+            int(np.asarray(scene.mat_tex)[mat])]
+        rows.append(r)
+    n = len(rows)
+    tab = (np.stack(rows) if rows
+           else np.zeros((1, M_COLS), np.float32))
+    return tab, n
 
 
 # light SMEM table columns (book-3 NEE targets)
@@ -224,14 +274,15 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  max_depth: int, sky_bg: bool, spp: int, width: int,
                  height: int, defocus: bool, tile_rows: int,
                  has_checker: bool, mis: bool = False, n_lights: int = 0,
-                 stratified: bool = False, sqrt_spp: int = 0):
+                 stratified: bool = False, sqrt_spp: int = 0,
+                 n_media: int = 0):
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
     inv_pi = 0.3183098861837907
 
-    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, cam_ref,
-               seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
+    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, mtab_ref,
+               cam_ref, seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -406,6 +457,92 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
             if n_quads:
                 carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
+
+            # constant media: stochastic free-flight through boundary
+            # intervals, each clipped by the RUNNING closest hit, mirroring
+            # the ordered list scan (constant_medium.rs:40-79,
+            # hittable_list.rs:42-54).  Python loop: media counts are tiny.
+            for m in range(n_media):
+                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
+                km = mtab_ref[m, M_KIND]
+                # --- sphere boundary roots over (-inf, inf)
+                ocx = mtab_ref[m, M_CX] - ox
+                ocy = mtab_ref[m, M_CY] - oy
+                ocz = mtab_ref[m, M_CZ] - oz
+                hh = dx * ocx + dy * ocy + dz * ocz
+                cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                      - mtab_ref[m, M_R2])
+                disc = hh * hh - a * cc
+                sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                s_t1 = (hh - sqd) * inv_a
+                s_t2 = (hh + sqd) * inv_a
+                s_ok = disc > 0.0
+                # --- oriented-box boundary (world->local: offset + rot -th)
+                cth = mtab_ref[m, M_COS]
+                sth = mtab_ref[m, M_SIN]
+                rox = ox - mtab_ref[m, M_CX]
+                roz = oz - mtab_ref[m, M_CZ]
+                lox_ = cth * rox - sth * roz
+                loy_ = oy - mtab_ref[m, M_CY]
+                loz_ = sth * rox + cth * roz
+                ldx_ = cth * dx - sth * dz
+                ldy_ = dy
+                ldz_ = sth * dx + cth * dz
+                def sinv(dv):
+                    sg = jnp.where(dv < 0.0, -1e-20, 1e-20)
+                    return 1.0 / jnp.where(jnp.abs(dv) < 1e-20, sg, dv)
+                ivx_ = sinv(ldx_)
+                ivy_ = sinv(ldy_)
+                ivz_ = sinv(ldz_)
+                tx1 = (mtab_ref[m, M_LOX] - lox_) * ivx_
+                tx2 = (mtab_ref[m, M_HIX] - lox_) * ivx_
+                ty1 = (mtab_ref[m, M_LOY] - loy_) * ivy_
+                ty2 = (mtab_ref[m, M_HIY] - loy_) * ivy_
+                tz1 = (mtab_ref[m, M_LOZ] - loz_) * ivz_
+                tz2 = (mtab_ref[m, M_HIZ] - loz_) * ivz_
+                b_t1 = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                               jnp.minimum(ty1, ty2)),
+                                   jnp.minimum(tz1, tz2))
+                b_t2 = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                               jnp.maximum(ty1, ty2)),
+                                   jnp.maximum(tz1, tz2))
+                b_ok = b_t1 < b_t2
+
+                is_box = km > 0.5
+                t1 = jnp.where(is_box, b_t1, s_t1)
+                t2 = jnp.where(is_box, b_t2, s_t2)
+                # logical combine, not select: Mosaic cannot legalize
+                # arith.select on i1 vectors
+                in_ok = (b_ok & is_box) | (s_ok & ~is_box)
+
+                t1c = jnp.maximum(t1, T_MIN)
+                t2c = jnp.minimum(t2, bt)
+                ok = in_ok & (t1c < t2c)
+                t1c = jnp.maximum(t1c, 0.0)
+                inv_len_m = jax.lax.rsqrt(a)
+                dlen = a * inv_len_m  # |d|
+                dist_inside = (t2c - t1c) * dlen
+                um = _uniform(shape)
+                hitd = mtab_ref[m, M_NID] * jnp.log(jnp.maximum(um, 1e-12))
+                ok = ok & (hitd <= dist_inside)
+                t_med = t1c + hitd * inv_len_m
+                take = ok & (t_med < bt)
+                out = (
+                    jnp.where(take, t_med, bt),
+                    jnp.where(take, float(ISOTROPIC), kind),
+                    jnp.where(take, mtab_ref[m, M_AR], ar),
+                    jnp.where(take, mtab_ref[m, M_AG], ag),
+                    jnp.where(take, mtab_ref[m, M_AB], ab),
+                    fz, io,
+                    jnp.where(take, 1.0, nx),
+                    jnp.where(take, 0.0, ny),
+                    jnp.where(take, 0.0, nz),
+                )
+                if has_checker:
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    out = out + (jnp.where(take, 0.0, tk), c2r, c2g, c2b,
+                                 ivs)
+                carry = out
             return carry
 
         def bounce_body(state):
@@ -530,10 +667,17 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             is_met = kind == float(METAL)
             is_die = kind == float(DIELECTRIC)
 
+            is_iso = kind == float(ISOTROPIC)
+
             if not mis:
-                ndx = jnp.where(is_met, mx, jnp.where(is_die, ex, lx))
-                ndy = jnp.where(is_met, my, jnp.where(is_die, ey, ly))
-                ndz = jnp.where(is_met, mz, jnp.where(is_die, ez, lz))
+                # isotropic media scatter uniformly: the shared random unit
+                # vector (the_next_week/material.rs Isotropic)
+                ndx = jnp.where(is_met, mx, jnp.where(is_die, ex,
+                                jnp.where(is_iso, rvx, lx)))
+                ndy = jnp.where(is_met, my, jnp.where(is_die, ey,
+                                jnp.where(is_iso, rvy, ly)))
+                ndz = jnp.where(is_met, mz, jnp.where(is_die, ez,
+                                jnp.where(is_iso, rvz, lz)))
 
                 atr = jnp.where(is_die, 1.0, car)
                 atg = jnp.where(is_die, 1.0, cag)
@@ -819,14 +963,15 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
                      "tile_rows", "has_checker", "mis", "n_lights",
-                     "stratified", "sqrt_spp", "interpret"),
+                     "stratified", "sqrt_spp", "n_media", "interpret"),
 )
-def _megakernel_raw(tab, qtab, clb, cls, ltab, cam_u, seed, bg, *,
+def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, *,
                     n_quads: int, n_clusters: int, moving: bool,
                     max_depth: int, sky_bg: bool, spp: int, width: int,
                     height: int, defocus: bool, rows: int, tile_rows: int,
                     has_checker: bool, mis: bool, n_lights: int,
-                    stratified: bool, sqrt_spp: int, interpret: bool):
+                    stratified: bool, sqrt_spp: int, n_media: int,
+                    interpret: bool):
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -837,7 +982,8 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, cam_u, seed, bg, *,
         _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
-                     stratified=stratified, sqrt_spp=sqrt_spp),
+                     stratified=stratified, sqrt_spp=sqrt_spp,
+                     n_media=n_media),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -846,13 +992,14 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, cam_u, seed, bg, *,
             smem(clb.shape[0], 8),
             smem(cls.shape[0]),
             smem(ltab.shape[0], L_COLS),
+            smem(mtab.shape[0], M_COLS),
             smem(20),
             smem(2),
             smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, clb, cls, ltab, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg)
 
 
 _slot_cache: dict = {}
@@ -944,6 +1091,13 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         n_lights = 0
         ltab = jnp.zeros((1, L_COLS), _F32)
 
+    if "media" in scene.features:
+        mtab_np, n_media = pack_media_table(scene)
+        mtab = jnp.asarray(mtab_np)
+    else:
+        n_media = 0
+        mtab = jnp.zeros((1, M_COLS), _F32)
+
     key = jax.random.fold_in(key, sample_offset)
     seed = jnp.concatenate([
         jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1],
@@ -952,8 +1106,8 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, qtab, clb, cls, ltab, cam_u, seed, bg, n_quads=n_quads,
-        n_clusters=n_clusters,
+        tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, n_quads=n_quads,
+        n_clusters=n_clusters, n_media=n_media,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
