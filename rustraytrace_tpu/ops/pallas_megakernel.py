@@ -89,7 +89,20 @@ Q_COLS = 32
 
 def megakernel_eligible(scene: Scene) -> bool:
     feats = set(scene.features)
-    return not feats & {"image", "noise"}
+    return not feats & {"image"}
+
+
+def pack_perlin_tables(scene: Scene):
+    """(ptab int32 [6,128], vtab f32 [6,128]): the 256-entry Perlin
+    permutation/vector lattice split into lo/hi 128-lane halves (Mosaic lane
+    gathers are confined to one 128-lane tile)."""
+    import numpy as np
+
+    perm = np.asarray(scene.perlin_perm, np.int32)  # [3,256]
+    vec = np.asarray(scene.perlin_randvec, np.float32)  # [256,3]
+    ptab = perm.reshape(3, 2, 128).reshape(6, 128)
+    vtab = vec.T.reshape(3, 2, 128).reshape(6, 128).astype(np.float32)
+    return ptab, vtab
 
 
 def pack_joined_table(scene: Scene) -> jnp.ndarray:
@@ -107,9 +120,12 @@ def pack_joined_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, J_FUZZ].set(scene.mat_fuzz[mat])
     tab = tab.at[:, J_IOR].set(scene.mat_ior[mat])
     mtex = scene.mat_tex[mat]
-    tab = tab.at[:, J_TEXK].set(scene.tex_kind[mtex].astype(_F32))
+    tk = scene.tex_kind[mtex]
+    tab = tab.at[:, J_TEXK].set(tk.astype(_F32))
     tab = tab.at[:, J_C2R:J_C2B + 1].set(scene.tex_color2[mtex])
-    tab = tab.at[:, J_INVS].set(scene.tex_inv_scale[mtex])
+    # dual-use scale column: checker inv_scale / marble noise_scale
+    tab = tab.at[:, J_INVS].set(jnp.where(
+        tk == 3, scene.tex_noise_scale[mtex], scene.tex_inv_scale[mtex]))
     return tab
 
 
@@ -140,9 +156,11 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, Q_FUZZ].set(scene.mat_fuzz[mat])
     tab = tab.at[:, Q_IOR].set(scene.mat_ior[mat])
     mtex = scene.mat_tex[mat]
-    tab = tab.at[:, Q_TEXK].set(scene.tex_kind[mtex].astype(_F32))
+    tk = scene.tex_kind[mtex]
+    tab = tab.at[:, Q_TEXK].set(tk.astype(_F32))
     tab = tab.at[:, Q_C2R:Q_C2B + 1].set(scene.tex_color2[mtex])
-    tab = tab.at[:, Q_INVS].set(scene.tex_inv_scale[mtex])
+    tab = tab.at[:, Q_INVS].set(jnp.where(
+        tk == 3, scene.tex_noise_scale[mtex], scene.tex_inv_scale[mtex]))
     return tab
 
 
@@ -275,14 +293,16 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  height: int, defocus: bool, tile_rows: int,
                  has_checker: bool, mis: bool = False, n_lights: int = 0,
                  stratified: bool = False, sqrt_spp: int = 0,
-                 n_media: int = 0):
+                 n_media: int = 0, has_noise: bool = False):
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
+    has_tex = has_checker or has_noise
     inv_pi = 0.3183098861837907
 
     def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, mtab_ref,
-               cam_ref, seed_ref, bg_ref, rx_ref, ry_ref, rz_ref):
+               ptab_ref, vtab_ref, cam_ref, seed_ref, bg_ref,
+               rx_ref, ry_ref, rz_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -341,7 +361,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, (root * dy - ocy) * inv_r, ny),
                     jnp.where(take, (root * dz - ocz) * inv_r, nz),
                 )
-                if has_checker:
+                if has_tex:
                     (tk, c2r, c2g, c2b, ivs) = carry[10:]
                     out = out + (
                         jnp.where(take, tab_ref[s, J_TEXK], tk),
@@ -354,7 +374,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
             init = (jnp.full(shape, _BIG, _F32), zeros, zeros, zeros, zeros,
                     zeros, ones, zeros, zeros, ones)
-            if has_checker:
+            if has_tex:
                 init = init + (zeros, zeros, zeros, zeros, zeros)
             if use_clusters:
                 # SAH-cluster culling: test the cluster AABB against the
@@ -444,7 +464,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, nqy + zeros, ny),
                     jnp.where(take, nqz + zeros, nz),
                 )
-                if has_checker:
+                if has_tex:
                     (tk, c2r, c2g, c2b, ivs) = carry[10:]
                     out = out + (
                         jnp.where(take, qtab_ref[qi, Q_TEXK], tk),
@@ -538,7 +558,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, 0.0, ny),
                     jnp.where(take, 0.0, nz),
                 )
-                if has_checker:
+                if has_tex:
                     (tk, c2r, c2g, c2b, ivs) = carry[10:]
                     out = out + (jnp.where(take, 0.0, tk), c2r, c2g, c2b,
                                  ivs)
@@ -575,17 +595,86 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             py_ = oy + t * dy
             pz_ = oz + t * dz
 
+            if has_tex:
+                (tk, c2r, c2g, c2b, ivs) = hitres[10:]
             if has_checker:
                 # 3-D lattice parity (texture.rs:63-77): odd cells take c2
-                (tk, c2r, c2g, c2b, ivs) = hitres[10:]
                 csum = (jnp.floor(ivs * px_).astype(jnp.int32)
                         + jnp.floor(ivs * py_).astype(jnp.int32)
                         + jnp.floor(ivs * pz_).astype(jnp.int32))
                 odd = (csum % 2) != 0
-                use2 = (tk > 0.5) & odd
+                use2 = (tk == 1.0) & odd  # TEX_CHECKER
                 car = jnp.where(use2, c2r, car)
                 cag = jnp.where(use2, c2g, cag)
                 cab = jnp.where(use2, c2b, cab)
+            if has_noise:
+                # marble: 0.5*(1 + sin(scale*z + 10*turb(p,7)))
+                # (texture.rs:122-126; turbulence perlin.rs:50-62; lattice
+                # noise perlin.rs:25-98 with the exact 256-entry tables,
+                # gathered as lo/hi 128-lane halves)
+                def g6(row, idx):
+                    lo = jnp.take_along_axis(
+                        jnp.broadcast_to(ptab_ref[2 * row:2 * row + 1, :],
+                                         shape), idx & 127, axis=1)
+                    hi = jnp.take_along_axis(
+                        jnp.broadcast_to(ptab_ref[2 * row + 1:2 * row + 2, :],
+                                         shape), idx & 127, axis=1)
+                    return jnp.where(idx < 128, lo, hi)
+
+                def gv6(row, idx):
+                    lo = jnp.take_along_axis(
+                        jnp.broadcast_to(vtab_ref[2 * row:2 * row + 1, :],
+                                         shape), idx & 127, axis=1)
+                    hi = jnp.take_along_axis(
+                        jnp.broadcast_to(vtab_ref[2 * row + 1:2 * row + 2, :],
+                                         shape), idx & 127, axis=1)
+                    return jnp.where(idx < 128, lo, hi)
+
+                def noise_at(qx, qy, qz):
+                    fxq = jnp.floor(qx)
+                    fyq = jnp.floor(qy)
+                    fzq = jnp.floor(qz)
+                    uxq = qx - fxq
+                    uyq = qy - fyq
+                    uzq = qz - fzq
+                    iq = fxq.astype(jnp.int32)
+                    jq = fyq.astype(jnp.int32)
+                    kq = fzq.astype(jnp.int32)
+                    sxq = uxq * uxq * (3.0 - 2.0 * uxq)
+                    syq = uyq * uyq * (3.0 - 2.0 * uyq)
+                    szq = uzq * uzq * (3.0 - 2.0 * uzq)
+                    acc = zeros
+                    for di in range(2):
+                        pi = g6(0, (iq + di) & 255)
+                        wxf = sxq if di else (1.0 - sxq)
+                        for dj in range(2):
+                            pj = g6(1, (jq + dj) & 255)
+                            wyf = syq if dj else (1.0 - syq)
+                            for dk in range(2):
+                                pk = g6(2, (kq + dk) & 255)
+                                idxc = pi ^ pj ^ pk
+                                cxn = gv6(0, idxc)
+                                cyn = gv6(1, idxc)
+                                czn = gv6(2, idxc)
+                                dot = (cxn * (uxq - di) + cyn * (uyq - dj)
+                                       + czn * (uzq - dk))
+                                wzf = szq if dk else (1.0 - szq)
+                                acc = acc + wxf * wyf * wzf * dot
+                    return acc
+
+                tacc = zeros
+                wgt = 1.0
+                qx, qy, qz = px_, py_, pz_
+                for _ in range(7):
+                    tacc = tacc + wgt * noise_at(qx, qy, qz)
+                    wgt *= 0.5
+                    qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
+                turbv = jnp.abs(tacc)
+                marble = 0.5 * (1.0 + jnp.sin(ivs * pz_ + 10.0 * turbv))
+                isn = tk == 3.0  # TEX_NOISE
+                car = jnp.where(isn, marble, car)
+                cag = jnp.where(isn, marble, cag)
+                cab = jnp.where(isn, marble, cab)
 
             d_dot_ow = dx * owx + dy * owy + dz * owz
             front = d_dot_ow < 0.0
@@ -963,15 +1052,17 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
                      "tile_rows", "has_checker", "mis", "n_lights",
-                     "stratified", "sqrt_spp", "n_media", "interpret"),
+                     "stratified", "sqrt_spp", "n_media", "has_noise",
+                     "interpret"),
 )
-def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, *,
+def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u,
+                    seed, bg, *,
                     n_quads: int, n_clusters: int, moving: bool,
                     max_depth: int, sky_bg: bool, spp: int, width: int,
                     height: int, defocus: bool, rows: int, tile_rows: int,
                     has_checker: bool, mis: bool, n_lights: int,
                     stratified: bool, sqrt_spp: int, n_media: int,
-                    interpret: bool):
+                    has_noise: bool, interpret: bool):
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -983,7 +1074,7 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, *,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
                      stratified=stratified, sqrt_spp=sqrt_spp,
-                     n_media=n_media),
+                     n_media=n_media, has_noise=has_noise),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -993,13 +1084,17 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, *,
             smem(cls.shape[0]),
             smem(ltab.shape[0], L_COLS),
             smem(mtab.shape[0], M_COLS),
+            pl.BlockSpec((6, TILE_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TILE_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             smem(20),
             smem(2),
             smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u, seed, bg)
 
 
 _slot_cache: dict = {}
@@ -1098,6 +1193,15 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         n_media = 0
         mtab = jnp.zeros((1, M_COLS), _F32)
 
+    has_noise = "noise" in scene.features
+    if has_noise:
+        ptab_np, vtab_np = pack_perlin_tables(scene)
+        ptab = jnp.asarray(ptab_np)
+        vtab = jnp.asarray(vtab_np)
+    else:
+        ptab = jnp.zeros((6, TILE_LANES), jnp.int32)
+        vtab = jnp.zeros((6, TILE_LANES), _F32)
+
     key = jax.random.fold_in(key, sample_offset)
     seed = jnp.concatenate([
         jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1],
@@ -1106,8 +1210,9 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, qtab, clb, cls, ltab, mtab, cam_u, seed, bg, n_quads=n_quads,
-        n_clusters=n_clusters, n_media=n_media,
+        tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u, seed, bg,
+        n_quads=n_quads, n_clusters=n_clusters, n_media=n_media,
+        has_noise=has_noise,
         moving="motion" in scene.features, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
