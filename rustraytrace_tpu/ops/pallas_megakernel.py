@@ -9,11 +9,12 @@ shading, Russian roulette, and background — entirely in VMEM/registers over a
 ~18 cycles/ray and the loop exits as soon as every lane in the tile is dead.
 
 Scope (megakernel_eligible): spheres + quads (incl. boxes/instances, which
-the scene compiler bakes to quads), materials lambertian / metal /
-dielectric / diffuse-light with SOLID colors, sky-gradient or flat
-background, motion blur, defocus.  Constant media and checker/image/noise
-textures fall back to the hybrid or XLA paths — same estimator, different
-execution.
+the scene compiler bakes to quads) + constant media, solid/checker/Perlin-
+marble albedos, sky-gradient or flat background, motion blur, defocus, and
+BOTH integrators — the plain path estimator and the book-3 NEE/MIS estimator
+(stratified sampling included).  Image textures fall back to the hybrid /
+XLA paths: Mosaic's dynamic gathers are confined to one 128-lane tile, which
+fits the split 256-entry Perlin lattice but not megapixel texel fetches.
 
 Semantics pinned to the reference GPU f32 path:
 * quadric half-b form with oc subtracted first (renderer.wgsl:122-142),
