@@ -294,7 +294,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  height: int, defocus: bool, tile_rows: int,
                  has_checker: bool, mis: bool = False, n_lights: int = 0,
                  stratified: bool = False, sqrt_spp: int = 0,
-                 n_media: int = 0, has_noise: bool = False):
+                 n_media: int = 0, has_noise: bool = False,
+                 n_slabs: int = 4):
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
@@ -302,8 +303,23 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     inv_pi = 0.3183098861837907
 
     def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, mtab_ref,
-               ptab_ref, vtab_ref, cam_ref, seed_ref, bg_ref,
+               ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
                rx_ref, ry_ref, rz_ref):
+
+        def fetch_attr(a, lane, slab):
+            """Winner-attribute lookup: atab row-slab gathers (lane-confined)
+            selected by the slab index — one fetch per bounce instead of
+            per-sphere attribute carries in the hot loop."""
+            val = jnp.take_along_axis(
+                jnp.broadcast_to(atab_ref[a * n_slabs:a * n_slabs + 1, :],
+                                 shape), lane, axis=1)
+            for k in range(1, n_slabs):
+                vk = jnp.take_along_axis(
+                    jnp.broadcast_to(
+                        atab_ref[a * n_slabs + k:a * n_slabs + k + 1, :],
+                        shape), lane, axis=1)
+                val = jnp.where(slab == k, vk, val)
+            return val
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -327,7 +343,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
             def body(s, carry):
-                (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
+                bt, bi = carry
                 cx = tab_ref[s, J_CX]
                 cy = tab_ref[s, J_CY]
                 cz = tab_ref[s, J_CZ]
@@ -348,35 +364,10 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 root = jnp.where((tn > T_MIN) & (tn < T_MAX), tn, tf)
                 take = ((disc > 0.0) & (root > T_MIN) & (root < T_MAX)
                         & (root < bt))
-                inv_r = tab_ref[s, J_INVR]
-                # outward normal = (p - c)/r = (root*d - oc)/r
-                out = (
-                    jnp.where(take, root, bt),
-                    jnp.where(take, tab_ref[s, J_KIND], kind),
-                    jnp.where(take, tab_ref[s, J_AR], ar),
-                    jnp.where(take, tab_ref[s, J_AG], ag),
-                    jnp.where(take, tab_ref[s, J_AB], ab),
-                    jnp.where(take, tab_ref[s, J_FUZZ], fz),
-                    jnp.where(take, tab_ref[s, J_IOR], io),
-                    jnp.where(take, (root * dx - ocx) * inv_r, nx),
-                    jnp.where(take, (root * dy - ocy) * inv_r, ny),
-                    jnp.where(take, (root * dz - ocz) * inv_r, nz),
-                )
-                if has_tex:
-                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
-                    out = out + (
-                        jnp.where(take, tab_ref[s, J_TEXK], tk),
-                        jnp.where(take, tab_ref[s, J_C2R], c2r),
-                        jnp.where(take, tab_ref[s, J_C2G], c2g),
-                        jnp.where(take, tab_ref[s, J_C2B], c2b),
-                        jnp.where(take, tab_ref[s, J_INVS], ivs),
-                    )
-                return out
+                return jnp.where(take, root, bt), jnp.where(take, s, bi)
 
-            init = (jnp.full(shape, _BIG, _F32), zeros, zeros, zeros, zeros,
-                    zeros, ones, zeros, zeros, ones)
-            if has_tex:
-                init = init + (zeros, zeros, zeros, zeros, zeros)
+            init = (jnp.full(shape, _BIG, _F32),
+                    jnp.full(shape, -1, jnp.int32))
             if use_clusters:
                 # SAH-cluster culling: test the cluster AABB against the
                 # whole ray tile; only descend into its spheres if ANY lane
@@ -475,6 +466,45 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                         jnp.where(take, qtab_ref[qi, Q_INVS], ivs),
                     )
                 return out
+
+            # one-time winner-attribute fetch (slab gathers) — the sphere
+            # loop carries only (best_t, best_idx)
+            bt, bi = carry
+            lane = bi & 127
+            slab = bi >> 7
+            kind = fetch_attr(0, lane, slab)
+            ar = fetch_attr(1, lane, slab)
+            ag = fetch_attr(2, lane, slab)
+            ab = fetch_attr(3, lane, slab)
+            fz = fetch_attr(4, lane, slab)
+            io = fetch_attr(5, lane, slab)
+            cxw = fetch_attr(6, lane, slab)
+            cyw = fetch_attr(7, lane, slab)
+            czw = fetch_attr(8, lane, slab)
+            invr = fetch_attr(9, lane, slab)
+            na = 10
+            if moving:
+                cxw = cxw + tm * fetch_attr(na, lane, slab)
+                cyw = cyw + tm * fetch_attr(na + 1, lane, slab)
+                czw = czw + tm * fetch_attr(na + 2, lane, slab)
+                na += 3
+            shit = bi >= 0
+            kind = jnp.where(shit, kind, 0.0)
+            # outward normal = (p - c)/r = (bt*d - oc)/r
+            nx = (bt * dx - (cxw - ox)) * invr
+            ny = (bt * dy - (cyw - oy)) * invr
+            nz = (bt * dz - (czw - oz)) * invr
+            nx = jnp.where(shit, nx, 0.0)
+            ny = jnp.where(shit, ny, 0.0)
+            nz = jnp.where(shit, nz, 1.0)
+            carry = (bt, kind, ar, ag, ab, fz, io, nx, ny, nz)
+            if has_tex:
+                tk = jnp.where(shit, fetch_attr(na, lane, slab), 0.0)
+                c2r = fetch_attr(na + 1, lane, slab)
+                c2g = fetch_attr(na + 2, lane, slab)
+                c2b = fetch_attr(na + 3, lane, slab)
+                ivs = fetch_attr(na + 4, lane, slab)
+                carry = carry + (tk, c2r, c2g, c2b, ivs)
 
             if n_quads:
                 carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
@@ -1054,16 +1084,16 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
                      "tile_rows", "has_checker", "mis", "n_lights",
                      "stratified", "sqrt_spp", "n_media", "has_noise",
-                     "interpret"),
+                     "n_slabs", "interpret"),
 )
-def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u,
-                    seed, bg, *,
+def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab,
+                    cam_u, seed, bg, *,
                     n_quads: int, n_clusters: int, moving: bool,
                     max_depth: int, sky_bg: bool, spp: int, width: int,
                     height: int, defocus: bool, rows: int, tile_rows: int,
                     has_checker: bool, mis: bool, n_lights: int,
                     stratified: bool, sqrt_spp: int, n_media: int,
-                    has_noise: bool, interpret: bool):
+                    has_noise: bool, n_slabs: int, interpret: bool):
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1075,7 +1105,8 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
                      stratified=stratified, sqrt_spp=sqrt_spp,
-                     n_media=n_media, has_noise=has_noise),
+                     n_media=n_media, has_noise=has_noise,
+                     n_slabs=n_slabs),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -1089,13 +1120,15 @@ def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, TILE_LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((atab.shape[0], TILE_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             smem(20),
             smem(2),
             smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab, cam_u, seed, bg)
 
 
 _slot_cache: dict = {}
@@ -1174,6 +1207,23 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         clb = jnp.zeros((1, 8), _F32)
         cls = jnp.zeros(2, jnp.int32)
 
+    # winner-attribute gather table: selected columns of the (cluster-
+    # reordered) sphere table, laid out as [n_attrs * n_slabs, 128] so each
+    # row is one lane-confined gather slab
+    moving = "motion" in scene.features
+    has_tex = ("checker" in scene.features) or ("noise" in scene.features)
+    acols = [J_KIND, J_AR, J_AG, J_AB, J_FUZZ, J_IOR, J_CX, J_CY, J_CZ,
+             J_INVR]
+    if moving:
+        acols += [J_VX, J_VY, J_VZ]
+    if has_tex:
+        acols += [J_TEXK, J_C2R, J_C2G, J_C2B, J_INVS]
+    n_sph = tab.shape[0]
+    n_slabs = max(1, -(-n_sph // TILE_LANES))
+    tab_pad = jnp.pad(tab, ((0, n_slabs * TILE_LANES - n_sph), (0, 0)))
+    atab = tab_pad[:, jnp.asarray(acols)].T.reshape(
+        len(acols) * n_slabs, TILE_LANES)
+
     cam_u = jnp.concatenate([
         cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
         cam.defocus_disk_u, cam.defocus_disk_v, jnp.zeros(2, _F32),
@@ -1211,10 +1261,10 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     rx, ry, rz = _megakernel_raw(
-        tab, qtab, clb, cls, ltab, mtab, ptab, vtab, cam_u, seed, bg,
+        tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab, cam_u, seed, bg,
         n_quads=n_quads, n_clusters=n_clusters, n_media=n_media,
-        has_noise=has_noise,
-        moving="motion" in scene.features, max_depth=max_depth,
+        has_noise=has_noise, n_slabs=n_slabs,
+        moving=moving, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
         has_checker="checker" in scene.features, mis=mis, n_lights=n_lights,
