@@ -157,9 +157,7 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
     if backend != "auto":
         return backend
     from .ops.pallas_hit import sphere_kernel_eligible
-    from .ops.pallas_megakernel import megakernel_eligible
-
-    from .ops.pallas_megakernel import megakernel_mis_eligible
+    from .ops.pallas_megakernel import megakernel_eligible, megakernel_mis_eligible
 
     on_tpu = jax.default_backend() == "tpu"
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;

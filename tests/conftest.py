@@ -13,5 +13,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# RTT_TPU_TESTS=1 leaves the real TPU visible so the TPU-only megakernel
+# validation tests (test_megakernel_tpu.py) can run:
+#   RTT_TPU_TESTS=1 python -m pytest tests/test_megakernel_tpu.py -q
+if not os.environ.get("RTT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
