@@ -46,9 +46,11 @@ from .intersect import T_MIN, T_MAX
 
 _BIG = 1.0e30
 _F32 = jnp.float32
-TILE_ROWS = 16  # 2048 rays = two 32x32 screen blocks; best measured tradeoff
+TILE_ROWS = 32  # 4096 rays = four 32x32 screen blocks; best measured tradeoff
 # between SAH-cluster-cull granularity (smaller = tighter frustums) and
-# per-sphere scalar-read amortization (larger = cheaper loop overhead)
+# per-sphere scalar-read amortization (larger = cheaper loop overhead).
+# Re-measured after the slab-gather attr refactor: 8 -> 11.1, 16 -> 14.6,
+# 32 -> 16.7, 48 -> 16.1, 64 -> 14.7 Mpaths/s on the flagship.
 TILE_LANES = 128
 TILE_R = TILE_ROWS * TILE_LANES
 _TWO_PI = 6.283185307179586
