@@ -1,0 +1,52 @@
+"""Golden-render regression tests.
+
+Tiny XLA-path renders with a fixed key are fully deterministic (threefry
+streams + fixed summation order), so they pin the INTEGRATOR SEMANTICS: any
+unintended change to intersection, shading, RR, NEE/MIS, media sampling, or
+RNG layout shifts these images far beyond the tolerance.  Regenerate
+deliberately with tests/goldens/regen (documented below) when semantics
+change on purpose.
+
+Regen:
+    python - <<'EOF'
+    # (run tests/test_goldens.py::_regen, or see git log for the snippet)
+    EOF
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rustraytrace_tpu import models
+from rustraytrace_tpu.config import derive_camera
+from rustraytrace_tpu.render import render_pass
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+CASES = {
+    "book1_trio": ("book1_three_spheres", "path", 24, 64, 6),
+    "cornell_mis": ("book3_cornell_box", "mis", 24, 64, 6),
+    "smoke": ("book2_cornell_smoke", "path", 24, 64, 6),
+    "bouncing": ("book2_bouncing_spheres", "path", 24, 64, 6),
+}
+
+
+def _render(scene_name, integ, w, spp, depth):
+    scene, cfg, _ = getattr(models, scene_name)(dict(image_width=w))
+    cam = derive_camera(cfg)
+    h = cfg.image_height
+    return np.asarray(render_pass(
+        scene, cam, jax.random.key(77), backend="xla", integrator=integ,
+        width=w, height=h, spp=spp, max_depth=depth, chunk=w * h,
+        stratified=False)) / spp
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden(name):
+    with np.load(os.path.join(GOLDEN_DIR, f"{name}.npz")) as z:
+        golden = z["img"]
+    img = _render(*CASES[name])
+    # identical platform/key => near-bitwise; cross-platform fp drift margin
+    np.testing.assert_allclose(img, golden, rtol=2e-4, atol=2e-4)
