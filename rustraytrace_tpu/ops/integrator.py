@@ -90,8 +90,9 @@ def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
         if opts.backend == "sphere_kernel":
             from .pallas_hit import closest_hit_spheres_pallas
 
-            draws = rng.uniforms(kb, (R,), 4)
-            rec, mat = closest_hit_spheres_pallas(o, d, time, scene)
+            draws = rng.uniforms(kb, (R,), 4 + nm)
+            rec, mat = closest_hit_spheres_pallas(
+                o, d, time, scene, u_media=draws[:, 4:])
         else:
             draws = rng.uniforms(kb, (R,), 4 + nm)
             rec = closest_hit(o, d, time, scene, draws[:, 4:])

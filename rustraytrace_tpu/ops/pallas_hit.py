@@ -65,9 +65,9 @@ def pack_sphere_table(scene: Scene) -> jnp.ndarray:
     return tab
 
 
-def _make_kernel(n_spheres: int, moving: bool):
-    def kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tm_ref, t_ref, idx_ref):
+def _make_kernel(n_spheres: int, n_quads: int, moving: bool):
+    def kernel(sph_ref, quad_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, tm_ref, t_ref, idx_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         a = dx * dx + dy * dy + dz * dz
@@ -107,22 +107,69 @@ def _make_kernel(n_spheres: int, moving: bool):
             jnp.full((TILE_ROWS, TILE_LANES), -1, jnp.int32),
         )
         best_t, best_i = jax.lax.fori_loop(0, n_spheres, body, init)
+
+        def qbody(qi, carry):
+            # plane hit + planar-coord interior test (quad.rs:59-88); winner
+            # index encoded as n_spheres + qi
+            best_t, best_i = carry
+            from .pallas_megakernel import (Q_DP, Q_NX, Q_NY, Q_NZ, Q_QX,
+                                            Q_QY, Q_QZ, Q_UX, Q_UY, Q_UZ,
+                                            Q_VX, Q_VY, Q_VZ, Q_WX, Q_WY,
+                                            Q_WZ)
+            nqx = quad_ref[qi, Q_NX]
+            nqy = quad_ref[qi, Q_NY]
+            nqz = quad_ref[qi, Q_NZ]
+            denom = dx * nqx + dy * nqy + dz * nqz
+            safe = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+            tq = (quad_ref[qi, Q_DP]
+                  - (ox * nqx + oy * nqy + oz * nqz)) / safe
+            relx = ox + tq * dx - quad_ref[qi, Q_QX]
+            rely = oy + tq * dy - quad_ref[qi, Q_QY]
+            relz = oz + tq * dz - quad_ref[qi, Q_QZ]
+            ux = quad_ref[qi, Q_UX]
+            uy = quad_ref[qi, Q_UY]
+            uz = quad_ref[qi, Q_UZ]
+            vx = quad_ref[qi, Q_VX]
+            vy = quad_ref[qi, Q_VY]
+            vz = quad_ref[qi, Q_VZ]
+            wx = quad_ref[qi, Q_WX]
+            wy = quad_ref[qi, Q_WY]
+            wz = quad_ref[qi, Q_WZ]
+            alpha = (wx * (rely * vz - relz * vy)
+                     + wy * (relz * vx - relx * vz)
+                     + wz * (relx * vy - rely * vx))
+            beta = (wx * (uy * relz - uz * rely)
+                    + wy * (uz * relx - ux * relz)
+                    + wz * (ux * rely - uy * relx))
+            take = ((jnp.abs(denom) >= 1e-8)
+                    & (tq > T_MIN) & (tq < T_MAX)
+                    & (alpha >= 0.0) & (alpha <= 1.0)
+                    & (beta >= 0.0) & (beta <= 1.0)
+                    & (tq < best_t))
+            return (jnp.where(take, tq, best_t),
+                    jnp.where(take, n_spheres + qi, best_i))
+
+        if n_quads:
+            best_t, best_i = jax.lax.fori_loop(0, n_quads, qbody,
+                                               (best_t, best_i))
+
         t_ref[:] = jnp.where(best_i >= 0, best_t, T_MAX)
         idx_ref[:] = best_i
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("moving", "interpret"))
-def _sphere_hit_raw(sph_tab, ox, oy, oz, dx, dy, dz, tm, *,
-                    moving: bool, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("n_quads", "moving", "interpret"))
+def _sphere_hit_raw(sph_tab, quad_tab, ox, oy, oz, dx, dy, dz, tm, *,
+                    n_quads: int, moving: bool, interpret: bool):
     """All ray components are [R//128, 128]; returns (t, idx) same shape."""
     rows = ox.shape[0]
     grid = (rows // TILE_ROWS,)
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_kernel(sph_tab.shape[0], moving),
+        _make_kernel(sph_tab.shape[0], n_quads, moving),
         out_shape=(
             jax.ShapeDtypeStruct(ox.shape, _F32),
             jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -131,28 +178,38 @@ def _sphere_hit_raw(sph_tab, ox, oy, oz, dx, dy, dz, tm, *,
         in_specs=[
             pl.BlockSpec((sph_tab.shape[0], S_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((quad_tab.shape[0], quad_tab.shape[1]),
+                         lambda i: (0, 0), memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
         ],
         out_specs=(ray_spec, ray_spec),
         interpret=interpret,
-    )(sph_tab, ox, oy, oz, dx, dy, dz, tm)
+    )(sph_tab, quad_tab, ox, oy, oz, dx, dy, dz, tm)
 
 
 def sphere_kernel_eligible(scene: Scene) -> bool:
-    """Kernel fast path covers sphere-only scenes (any texture kind — albedo
-    is evaluated outside the kernel); quads/media fall back to XLA."""
-    feats = set(scene.features)
-    return not feats & {"quads", "media"}
+    """The hybrid closest-hit kernel covers spheres + quads in-kernel (quad
+    table must fit SMEM: <= 256 quads — book2_final's 2401 baked box quads
+    exceed it and measured slower via VMEM scalar reads), constant media via
+    the XLA free-flight sampler, and all texture kinds outside the kernel."""
+    return ("quads" not in scene.features
+            or scene.quad_q.shape[0] <= 256)
 
 
 def closest_hit_spheres_pallas(o, d, time, scene: Scene, *,
+                               u_media=None,
                                interpret: bool | None = None):
-    """Full closest-hit + material attributes for sphere-only scenes.
+    """Full closest-hit + material attributes for any scene.
 
-    Returns (HitRecord, MatRecord).  The kernel produces (t, winner index);
-    the record is assembled with fused XLA gathers.
+    Spheres + quads resolve in the Pallas kernel (winner index encodes the
+    class: idx < S is a sphere, idx >= S a quad); constant media are
+    composed on top with the XLA free-flight sampler (needs ``u_media``
+    [R, n_media] uniforms when the scene has media, matching
+    intersect.closest_hit); records/materials/textures are assembled with
+    fused XLA gathers.  Returns (HitRecord, MatRecord).
     """
+    from .intersect import hit_media
     from .materials import MatRecord
     from .textures import texture_value
 
@@ -168,30 +225,82 @@ def closest_hit_spheres_pallas(o, d, time, scene: Scene, *,
         return x.reshape(rows, TILE_LANES)
 
     moving = "motion" in scene.features
+    has_quads = "quads" in scene.features
 
     tab = pack_sphere_table(scene)
+    if has_quads:
+        from .pallas_megakernel import pack_quad_table
+
+        quad_tab = pack_quad_table(scene)
+        n_quads = quad_tab.shape[0]
+    else:
+        quad_tab = jnp.zeros((1, 32), _F32)
+        n_quads = 0
     t2, idx2 = _sphere_hit_raw(
-        tab, plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        tab, quad_tab, plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
         plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]), plane(time),
-        moving=moving, interpret=interpret,
+        n_quads=n_quads, moving=moving, interpret=interpret,
     )
+    S = tab.shape[0]
     t = t2.reshape(-1)[:R]
     idx = idx2.reshape(-1)[:R]
     hit = idx >= 0
-    iw = jnp.maximum(idx, 0)
+    is_quad = idx >= S
+    iw = jnp.where(hit & ~is_quad, idx, 0)
+    qw = jnp.where(is_quad, idx - S, 0)
 
     t_safe = jnp.where(hit, t, 1.0)
     p = o + t_safe[:, None] * d
+
+    # --- sphere record ---
     ctr = scene.sph_center[iw] + time[:, None] * scene.sph_cvel[iw]
     rad = scene.sph_radius[iw]
-    outward = (p - ctr) / jnp.maximum(rad, 1e-30)[:, None]
-    front = jnp.sum(d * outward, axis=-1) < 0.0
-    normal = jnp.where(front[:, None], outward, -outward)
-    u, v = sphere_uv(outward)
+    outward_s = (p - ctr) / jnp.maximum(rad, 1e-30)[:, None]
+    us, vs = sphere_uv(outward_s)
+    mat_s = scene.sph_mat[iw]
 
-    mat_id = scene.sph_mat[iw]
+    # --- quad record (quad.rs:64-87 planar coords) ---
+    if has_quads:
+        qn = jnp.cross(scene.quad_u, scene.quad_v)
+        qnn = jnp.maximum(jnp.sum(qn * qn, axis=-1, keepdims=True), 1e-30)
+        qw_all = qn / qnn
+        qnormal_all = qn / jnp.sqrt(qnn)
+        rel = p - scene.quad_q[qw]
+        uq = jnp.sum(qw_all[qw] * jnp.cross(rel, scene.quad_v[qw]), axis=-1)
+        vq = jnp.sum(qw_all[qw] * jnp.cross(scene.quad_u[qw], rel), axis=-1)
+        outward = jnp.where(is_quad[:, None], qnormal_all[qw], outward_s)
+        u = jnp.where(is_quad, uq, us)
+        v = jnp.where(is_quad, vq, vs)
+        mat_id = jnp.where(is_quad, scene.quad_mat[qw], mat_s)
+    else:
+        outward = outward_s
+        u, v = us, vs
+        mat_id = mat_s
+
+    front = jnp.sum(d * outward, axis=-1) < 0.0
+    t_full = jnp.where(hit, t, T_MAX)
+
+    # --- constant media composed on the geometry-closest hit ---
+    if "media" in scene.features:
+        assert u_media is not None, "media scenes need u_media draws"
+        tm_, mmat, anym = hit_media(
+            o, d, scene, jnp.full((R,), T_MIN, o.dtype), t_full, u_media)
+        better = anym & (tm_ < t_full)
+        t_full = jnp.where(better, tm_, t_full)
+        hit = hit | better
+        p = jnp.where(better[:, None],
+                      o + t_full[:, None] * d, p)
+        outward = jnp.where(better[:, None],
+                            jnp.asarray([1.0, 0.0, 0.0], o.dtype)[None, :],
+                            outward)
+        front = jnp.where(better, True, front)
+        mat_id = jnp.where(better, mmat, mat_id)
+        u = jnp.where(better, 0.0, u)
+        v = jnp.where(better, 0.0, v)
+
+    normal = jnp.where(front[:, None], outward, -outward)
     rec = HitRecord(
-        valid=hit, t=jnp.where(hit, t, T_MAX), p=p, normal=normal,
+        valid=hit, t=t_full, p=p, normal=normal,
         front_face=front, mat=mat_id, u=u, v=v,
     )
     mat = MatRecord(

@@ -105,18 +105,51 @@ def test_kernel_motion_blur_and_checker():
 
 def test_eligibility():
     s1, _, _ = models.book1_three_spheres()
-    assert sphere_kernel_eligible(s1)
-    s2, _, _ = models.book3_cornell_box()
-    assert not sphere_kernel_eligible(s2)  # quads
     s3, _, _ = models.book2_earth()
-    assert sphere_kernel_eligible(s3)  # image texture evaluated outside kernel
     s4, _, _ = models.book2_cornell_smoke()
-    assert not sphere_kernel_eligible(s4)  # quads + media
-    expected = "megakernel" if jax.default_backend() == "tpu" else "sphere_kernel"
-    assert resolve_backend(s1, "path") == expected  # solid-only spheres
+    # the hybrid now covers everything (spheres+quads in-kernel, media via
+    # the XLA free-flight sampler, textures outside)
+    assert sphere_kernel_eligible(s1)
+    assert sphere_kernel_eligible(s3)
+    assert sphere_kernel_eligible(s4)
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_backend(s1, "path") == (
+        "megakernel" if on_tpu else "sphere_kernel")
     assert resolve_backend(s3, "path") == "sphere_kernel"  # image texture
-    assert resolve_backend(s1, "mis") == "xla"
-    assert resolve_backend(s2, "path") == "xla"
+    s2, _, _ = models.book3_cornell_box()
+    # the MIS integrator has no hybrid branch: megakernel on TPU, else XLA
+    assert resolve_backend(s2, "mis") == ("megakernel" if on_tpu else "xla")
+
+
+def test_kernel_quads_and_media_match_xla():
+    """Hybrid closest-hit on a quads+media scene (cornell smoke) vs the XLA
+    reference — same media uniforms so free-flight decisions coincide."""
+    scene, cfg, _ = models.book2_cornell_smoke(dict(image_width=32))
+    nm = scene.msph_center.shape[0] + scene.mbox_cos.shape[0]
+    n = 1024
+    o = jax.random.uniform(jax.random.key(1), (n, 3), minval=100.0,
+                           maxval=450.0)
+    d = jax.random.normal(jax.random.key(2), (n, 3))
+    t = jnp.zeros(n)
+    um = jax.random.uniform(jax.random.key(3), (n, nm))
+    rec_ref = closest_hit(o, d, t, scene, um)
+    rec_k, mat_k = closest_hit_spheres_pallas(o, d, t, scene, u_media=um,
+                                              interpret=True)
+    valid_ref = np.asarray(rec_ref.valid)
+    # inside the box most rays hit (the open front wall lets ~15% escape)
+    assert valid_ref.mean() > 0.8
+    assert (valid_ref == np.asarray(rec_k.valid)).mean() > 0.99
+    hits = valid_ref & np.asarray(rec_k.valid)
+    t_ref = np.asarray(rec_ref.t)[hits]
+    t_k = np.asarray(rec_k.t)[hits]
+    agree = np.abs(t_ref - t_k) <= 1e-3 * (1.0 + np.abs(t_ref))
+    assert agree.mean() > 0.97, agree.mean()
+    np.testing.assert_array_equal(
+        np.asarray(rec_ref.mat)[hits][agree],
+        np.asarray(rec_k.mat)[hits][agree])
+    np.testing.assert_allclose(
+        np.asarray(rec_ref.normal)[hits][agree],
+        np.asarray(rec_k.normal)[hits][agree], atol=5e-3)
 
 
 def test_render_pass_kernel_backend_statistics():
