@@ -111,18 +111,25 @@ def main(argv=None) -> int:
         if args.checkpoint:
             save_checkpoint(args.checkpoint, state, cfg, scene)
 
-    render_kw = dict(integrator=integrator, chunk=args.chunk,
-                     progress=progress, accum_state=accum_state)
+    render_kw = dict(integrator=integrator, progress=progress,
+                     accum_state=accum_state)
     if args.sharded:
         from .parallel import make_mesh, render_image_sharded
 
+        if args.backend == "sphere_kernel":
+            print("--backend sphere_kernel is not supported with --sharded "
+                  "(use auto, xla, or megakernel)", file=sys.stderr)
+            return 2
         mesh = make_mesh(spp_shards=args.spp_shards)
         if not args.quiet:
             print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
-        img, state = render_image_sharded(scene, cfg, mesh=mesh, **render_kw)
+        img, state = render_image_sharded(
+            scene, cfg, mesh=mesh, chunk=args.chunk, backend=args.backend,
+            on_pass=on_pass, **render_kw)
     else:
         img, state = render.render_image(scene, cfg, backend=args.backend,
-                                         on_pass=on_pass, **render_kw)
+                                         chunk=args.chunk, on_pass=on_pass,
+                                         **render_kw)
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, state, cfg, scene)

@@ -420,9 +420,39 @@ BOOK2_SCENES = {
 }
 
 
+# Book-name normalization (main.rs:7-12: lowercase, strip non-alphanumerics)
+# plus the reference's accepted aliases (main.rs:87-96).
+_BOOK_ALIASES = {
+    "inoneweekend": "in_one_weekend", "oneweekend": "in_one_weekend",
+    "weekend": "in_one_weekend", "book1": "in_one_weekend",
+    "thenextweek": "the_next_week", "nextweek": "the_next_week",
+    "next": "the_next_week", "book2": "the_next_week",
+    "therestofyourlife": "the_rest_of_your_life",
+    "restofyourlife": "the_rest_of_your_life",
+    "rest": "the_rest_of_your_life", "restoflife": "the_rest_of_your_life",
+    "book3": "the_rest_of_your_life",
+}
+
+
+def normalize_scene_name(name: str) -> str:
+    """Resolve a scene/book argument the way the reference CLI does
+    (main.rs:7-12 normalization + main.rs:87-96 alias match), extended to the
+    registry's own scene names (so ``book2-earth`` works too)."""
+    if name in SCENES or name in ("the_next_week",):
+        return name
+    key = "".join(c for c in name.lower() if c.isalnum())
+    if key in _BOOK_ALIASES:
+        return _BOOK_ALIASES[key]
+    for reg in list(SCENES) + ["the_next_week"]:
+        if key == "".join(c for c in reg if c.isalnum()):
+            return reg
+    return name
+
+
 def get_scene(name: str, overrides: Optional[dict] = None,
               scene_num: Optional[int] = None):
-    if name in ("the_next_week", "book2"):
+    name = normalize_scene_name(name)
+    if name == "the_next_week":
         fn = BOOK2_SCENES.get(scene_num or 0, book2_final_scene)
         return fn(overrides)
     return SCENES[name](overrides)

@@ -251,11 +251,22 @@ def refine_sphere_t(o, d, ctr, rad, t, valid):
 def sphere_uv(outward: jnp.ndarray):
     """Spherical UV from the outward unit normal (sphere.rs:47-53).
 
-    The clip stays strictly inside (-1, 1): arccos' is infinite at the poles
-    and the gathered "outward" of non-sphere lanes is arbitrary, so a hard
-    ±1 clip would emit NaN in the backward pass."""
-    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0 + 1e-12, 1.0 - 1e-12))
-    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + _PI
+    arccos' is infinite at the poles and the gathered "outward" of non-sphere
+    winner lanes (quads/media/miss) can land outside [-1, 1], so a plain
+    arccos would emit inf/NaN in the backward pass and poison
+    sph_center/sph_radius gradients.  A tiny-epsilon clip does NOT work in
+    f32 (1 - 1e-12 rounds to exactly 1.0, making the guard a no-op); instead
+    the double-where pattern from sphere_roots: arccos sees a safe interior
+    argument, pole/out-of-range lanes get their exact forward value (0 or pi)
+    with a detached-zero gradient."""
+    y = jnp.clip(-outward[:, 1], -1.0, 1.0)
+    safe = jnp.abs(y) < 1.0 - 1e-6
+    theta = jnp.arccos(jnp.where(safe, y, 0.0))
+    theta = jnp.where(safe, theta, jnp.where(y > 0.0, 0.0, _PI))
+    # arctan2(0, 0) at the poles has NaN partials; forward value (0) is kept
+    x, z = outward[:, 0], outward[:, 2]
+    deg = (jnp.abs(x) < 1e-12) & (jnp.abs(z) < 1e-12)
+    phi = jnp.arctan2(jnp.where(deg, 0.0, -z), jnp.where(deg, 1.0, x)) + _PI
     return phi / (2.0 * _PI), theta / _PI
 
 

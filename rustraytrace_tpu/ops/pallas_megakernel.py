@@ -1150,20 +1150,17 @@ def _unswizzle_index(width: int, height: int):
     return _slot_cache[key]
 
 
-def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
-                           spp: int, max_depth: int,
-                           sample_offset=0, tile_rows: int = TILE_ROWS,
-                           mis: bool = False, stratified: bool = False,
-                           sqrt_spp: int = 0,
-                           interpret: bool | None = None) -> jnp.ndarray:
-    """Whole-image render pass in ONE kernel launch: in-kernel ray
-    generation, spp loop, and bounce loop.  Returns the radiance SUM
-    [H, W, 3] — the same contract as render.render_pass.
+def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
+                       spp: int, max_depth: int, tile_rows: int = TILE_ROWS,
+                       mis: bool = False, stratified: bool = False,
+                       sqrt_spp: int = 0, interpret: bool | None = None):
+    """Host-side half of a megakernel pass: SAH clustering + table packing.
 
-    The spp loop lives in-kernel (not a lax.fori over launches) both for
-    speed (no per-sample XLA raygen/accumulate round-trips) and because the
-    axon runtime intermittently stalls multi-minute on the first execution
-    of an executable with many queued pallas launches.
+    Returns ``(arrays, statics)`` — a dict of device arrays (replicable
+    across a mesh; the scene tables are identical on every chip) and the
+    static kwargs for :func:`_megakernel_raw`.  Split out so the spp-sharded
+    multi-chip path (parallel/megakernel.py) can pack ONCE and ``shard_map``
+    only the per-device (key, sample_offset) execution.
     """
     from ..config import BG_SKY
 
@@ -1255,15 +1252,11 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         ptab = jnp.zeros((6, TILE_LANES), jnp.int32)
         vtab = jnp.zeros((6, TILE_LANES), _F32)
 
-    key = jax.random.fold_in(key, sample_offset)
-    seed = jnp.concatenate([
-        jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1],
-        jnp.asarray(sample_offset, jnp.int32).reshape(1),
-    ])
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
-    rx, ry, rz = _megakernel_raw(
-        tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab, cam_u, seed, bg,
+    arrays = dict(tab=tab, qtab=qtab, clb=clb, cls=cls, ltab=ltab, mtab=mtab,
+                  ptab=ptab, vtab=vtab, atab=atab, cam_u=cam_u, bg=bg)
+    statics = dict(
         n_quads=n_quads, n_clusters=n_clusters, n_media=n_media,
         has_noise=has_noise, n_slabs=n_slabs,
         moving=moving, max_depth=max_depth,
@@ -1272,5 +1265,45 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
         has_checker="checker" in scene.features, mis=mis, n_lights=n_lights,
         stratified=stratified, sqrt_spp=sqrt_spp, interpret=interpret,
     )
+    return arrays, statics
+
+
+def megakernel_pass_from_prepared(arrays: dict, statics: dict, key,
+                                  sample_offset) -> jnp.ndarray:
+    """Device half of a megakernel pass: seed derivation + kernel launch +
+    unswizzle.  ``sample_offset`` may be a traced int32 (per-device offsets
+    under shard_map).  Returns the radiance SUM [H, W, 3]."""
+    key = jax.random.fold_in(key, sample_offset)
+    seed = jnp.concatenate([
+        jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:1],
+        jnp.asarray(sample_offset, jnp.int32).reshape(1),
+    ])
+    rx, ry, rz = _megakernel_raw(
+        arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
+        arrays["ltab"], arrays["mtab"], arrays["ptab"], arrays["vtab"],
+        arrays["atab"], arrays["cam_u"], seed, arrays["bg"], **statics)
     img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)
+    width, height = statics["width"], statics["height"]
     return img[_unswizzle_index(width, height)].reshape(height, width, 3)
+
+
+def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
+                           spp: int, max_depth: int,
+                           sample_offset=0, tile_rows: int = TILE_ROWS,
+                           mis: bool = False, stratified: bool = False,
+                           sqrt_spp: int = 0,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Whole-image render pass in ONE kernel launch: in-kernel ray
+    generation, spp loop, and bounce loop.  Returns the radiance SUM
+    [H, W, 3] — the same contract as render.render_pass.
+
+    The spp loop lives in-kernel (not a lax.fori over launches) both for
+    speed (no per-sample XLA raygen/accumulate round-trips) and because the
+    axon runtime intermittently stalls multi-minute on the first execution
+    of an executable with many queued pallas launches.
+    """
+    arrays, statics = prepare_megakernel(
+        scene, cam, width=width, height=height, spp=spp, max_depth=max_depth,
+        tile_rows=tile_rows, mis=mis, stratified=stratified,
+        sqrt_spp=sqrt_spp, interpret=interpret)
+    return megakernel_pass_from_prepared(arrays, statics, key, sample_offset)

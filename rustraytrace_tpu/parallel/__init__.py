@@ -15,10 +15,16 @@ Scene and camera pytrees are replicated (KBs; SURVEY.md §2.7).
 
 from .mesh import make_mesh, mesh_axis_sizes
 from .render import render_pass_sharded, render_image_sharded
+from .megakernel import (megakernel_shard_eligible,
+                         render_pass_megakernel_sharded,
+                         render_image_sharded_megakernel)
 
 __all__ = [
     "make_mesh",
     "mesh_axis_sizes",
     "render_pass_sharded",
     "render_image_sharded",
+    "megakernel_shard_eligible",
+    "render_pass_megakernel_sharded",
+    "render_image_sharded_megakernel",
 ]

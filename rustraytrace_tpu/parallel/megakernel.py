@@ -1,0 +1,149 @@
+"""spp-sharded Pallas megakernel rendering over the device mesh.
+
+The single-chip megakernel (ops/pallas_megakernel.py) traces the whole image
+in one kernel launch; it scales across chips on the SAMPLE axis — the same
+axis the reference's GPU pass loop batches sequentially (64 spp/pass,
+``src/gpu/mod.rs:444-481``): every device runs the identical kernel over the
+identical (replicated, KB-sized) scene tables with a device-distinct
+``sample_offset``, and the per-device radiance sums are reduced with ``psum``
+over ICI.  Because the kernel's PRNG is seeded per (pass key ⊕ sample_offset,
+tile), device streams are disjoint by construction — the multi-chip render is
+a plain variance-reducing average of independent passes.
+
+Host-side table packing (SAH clustering, attribute slabs) happens ONCE via
+``prepare_megakernel``; only the (key, offset) execution is shard_mapped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig, derive_camera
+from ..render import finalize_image
+from ..scene import Scene
+
+
+def megakernel_shard_eligible(scene: Scene, integrator: str,
+                              mesh: Mesh) -> bool:
+    """True when the sharded render can route through the megakernel: all
+    mesh devices are TPUs (the Mosaic PRNG has no CPU lowering) and the
+    scene/integrator pair is kernel-eligible."""
+    from ..ops.pallas_megakernel import (megakernel_eligible,
+                                         megakernel_mis_eligible)
+
+    devs = mesh.devices.reshape(-1)
+    if not all(d.platform == "tpu" for d in devs):
+        return False
+    if integrator == "path":
+        return megakernel_eligible(scene)
+    if integrator == "mis":
+        return megakernel_mis_eligible(scene)
+    return False
+
+
+def sharded_megakernel_wiring(pass_fn, arrays, key, offsets, mesh: Mesh):
+    """The shard_map plumbing, separated from the kernel so its structure is
+    testable on the virtual CPU mesh (and by ``dryrun_multichip``) with a
+    substitute ``pass_fn``.
+
+    pass_fn(arrays, key, offset_scalar) -> [H, W, 3] per-device radiance sum.
+    ``arrays`` is replicated, ``offsets`` [n_devices] is split one-per-device
+    over the flattened ('px', 'spp') mesh, and the outputs are psum'd back to
+    every device.
+    """
+    def body(arrays, key, off):
+        img = pass_fn(arrays, key, off[0])
+        return jax.lax.psum(img, ("px", "spp"))
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(("px", "spp"))),
+        out_specs=P(),
+        check_vma=False,
+    )(arrays, key, offsets)
+
+
+def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
+                                   height: int, spp: int, max_depth: int,
+                                   mesh: Mesh, mis: bool = False,
+                                   stratified: bool = False,
+                                   sqrt_spp: int = 0,
+                                   sample_offset: int = 0) -> jnp.ndarray:
+    """Trace >= ``spp`` samples/pixel across every device of the mesh.
+
+    Each device traces ``ceil(spp / n_devices)`` samples at a distinct
+    ``sample_offset``; returns the psum'd radiance SUM [H, W, 3] (replicated).
+    Actual samples traced = ``spp_traced_mesh(spp, mesh)``.
+    """
+    from ..ops.pallas_megakernel import (megakernel_pass_from_prepared,
+                                         prepare_megakernel)
+
+    n = int(mesh.devices.size)
+    spp_local = -(-spp // n)
+    arrays, statics = prepare_megakernel(
+        scene, cfg_cam, width=width, height=height, spp=spp_local,
+        max_depth=max_depth, mis=mis, stratified=stratified,
+        sqrt_spp=sqrt_spp)
+    offsets = (sample_offset
+               + jnp.arange(n, dtype=jnp.int32) * spp_local)
+
+    def pass_fn(arrays, key, off):
+        return megakernel_pass_from_prepared(arrays, statics, key, off)
+
+    return sharded_megakernel_wiring(pass_fn, arrays, key, offsets, mesh)
+
+
+def spp_traced_mesh(spp: int, mesh: Mesh) -> int:
+    n = int(mesh.devices.size)
+    return -(-spp // n) * n
+
+
+def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
+                                    mesh: Mesh, integrator: str = "path",
+                                    progress=None,
+                                    accum_state: Optional[dict] = None,
+                                    on_pass=None):
+    """Full sharded megakernel render: host pass loop + psum'd accumulation.
+
+    Same contract as ``parallel.render.render_image_sharded`` (which routes
+    here for eligible scenes on TPU meshes).
+    """
+    import numpy as np
+
+    cam = derive_camera(cfg)
+    h, w = cfg.image_height, cfg.image_width
+
+    stratified = cfg.stratified
+    sqrt_spp = int(np.sqrt(cfg.samples_per_pixel)) if stratified else 0
+    spp_total = sqrt_spp * sqrt_spp if stratified else cfg.samples_per_pixel
+
+    if accum_state is None:
+        accum = jnp.zeros((h, w, 3), jnp.float32)
+        done = 0
+    else:
+        accum = jnp.asarray(accum_state["accum"])
+        done = int(accum_state["spp_done"])
+
+    key = jax.random.key(cfg.seed)
+    n = int(mesh.devices.size)
+    per_pass = -(-cfg.spp_per_pass // n) * n
+
+    while done < spp_total:
+        this = min(per_pass, spp_traced_mesh(spp_total - done, mesh))
+        accum = accum + render_pass_megakernel_sharded(
+            scene, cam, key, width=w, height=h, spp=this,
+            max_depth=cfg.max_depth, mesh=mesh, mis=integrator == "mis",
+            stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done)
+        done += spp_traced_mesh(this, mesh)
+        if progress is not None:
+            progress(done, spp_total)
+        if on_pass is not None:
+            on_pass({"accum": accum, "spp_done": done})
+
+    accum_np = np.asarray(accum)
+    return finalize_image(accum_np, done), {"accum": accum_np,
+                                            "spp_done": done}

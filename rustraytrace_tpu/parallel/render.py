@@ -8,10 +8,13 @@ axis (the analog of the reference's sequential GPU pass loop,
 reduced with ``psum`` over ICI).
 
 Determinism: every (sample, chunk-of-pixels) unit derives its key as
-``fold_in(fold_in(key, global_sample_idx), global_chunk_idx)`` — the SAME
-derivation as the single-chip pass loop — so an N-chip render is bit-identical
-to the 1-chip render when spp is unsharded, and equal up to f32 summation
-order when it is.
+``fold_in(fold_in(key, global_sample_idx), chunk_start_pixel)`` — the SAME
+derivation as the single-chip pass loop, and independent of the mesh shape —
+so an N-chip render is bit-identical to the 1-chip render when spp is
+unsharded AND both runs use the same effective chunk size (the chunk start
+pixels then coincide; pass ``chunk <= ceil(n_pix / n_px_shards)`` rounded to
+256 to guarantee it), and equal up to f32 summation order when spp is
+sharded.
 
 The per-sample body is built from ``lax.scan`` (not ``fori_loop``) so the
 whole pass is reverse-mode differentiable; ``jax.checkpoint`` around the
@@ -40,7 +43,8 @@ def _ceil_to(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "integrator",
-                     "chunk", "stratified", "sqrt_spp", "mesh", "remat"),
+                     "chunk", "stratified", "sqrt_spp", "mesh", "remat",
+                     "backend"),
 )
 def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         width: int, height: int, spp: int, max_depth: int,
@@ -48,7 +52,8 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         chunk: int = 65536, stratified: bool = False,
                         sqrt_spp: int = 0,
                         sample_offset: jnp.ndarray | int = 0,
-                        remat: bool = True) -> jnp.ndarray:
+                        remat: bool = True,
+                        backend: str = "xla") -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across the mesh.
 
     Returns the radiance SUM [H, W, 3] (replicated over 'spp', sharded over
@@ -76,7 +81,8 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
         py_all = jnp.minimum(pix // width, height - 1).astype(dt).reshape(
             n_chunks, chunk_eff
         )
-        gchunks = px_idx * n_chunks + jnp.arange(n_chunks)
+        # global start pixel of each local chunk (mesh-independent key basis)
+        gstarts = px_idx * n_local + jnp.arange(n_chunks) * chunk_eff
 
         def one_sample(s):
             s_idx = sample_offset + spp_idx * spp_local + s
@@ -87,11 +93,11 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                 rad = trace_rays(
                     scene, cam, kc, s_idx, px, py, max_depth=max_depth,
                     integrator=integrator, stratified=stratified,
-                    sqrt_spp=sqrt_spp,
+                    sqrt_spp=sqrt_spp, backend=backend,
                 )
                 return None, rad
 
-            _, rads = jax.lax.scan(chunk_body, None, (gchunks, px_all, py_all))
+            _, rads = jax.lax.scan(chunk_body, None, (gstarts, px_all, py_all))
             return rads.reshape(n_local, 3)
 
         body = jax.checkpoint(one_sample) if remat else one_sample
@@ -126,13 +132,33 @@ def spp_traced(spp: int, mesh: Mesh) -> int:
 
 def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
                          integrator: str = "path", chunk: int = 65536,
-                         progress=None, accum_state: Optional[dict] = None):
+                         progress=None, accum_state: Optional[dict] = None,
+                         backend: str = "auto", on_pass=None):
     """Full sharded render: host pass loop, psum'd accumulation, finalize.
 
     The sharded analog of ``render.render_image``; returns
-    (image_u8 [H,W,3], accum_state).
+    (image_u8 [H,W,3], accum_state).  ``on_pass(state)`` fires at every pass
+    boundary with a resumable {accum, spp_done} dict (checkpointing — a
+    killed sharded run otherwise loses all progress).
     """
     import numpy as np
+
+    from .megakernel import megakernel_shard_eligible
+
+    if backend == "auto":
+        backend = ("megakernel"
+                   if megakernel_shard_eligible(scene, integrator, mesh)
+                   else "xla")
+    if backend not in ("xla", "megakernel"):
+        raise ValueError(
+            f"sharded rendering supports backends 'auto', 'xla', "
+            f"'megakernel'; got {backend!r}")
+    if backend == "megakernel":
+        from .megakernel import render_image_sharded_megakernel
+
+        return render_image_sharded_megakernel(
+            scene, cfg, mesh=mesh, integrator=integrator,
+            progress=progress, accum_state=accum_state, on_pass=on_pass)
 
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
@@ -163,6 +189,8 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
         done += spp_traced(this, mesh)
         if progress is not None:
             progress(done, spp_total)
+        if on_pass is not None:
+            on_pass({"accum": accum, "spp_done": done})
 
     accum_np = np.asarray(accum)
     return finalize_image(accum_np, done), {"accum": accum_np, "spp_done": done}

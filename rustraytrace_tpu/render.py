@@ -53,6 +53,11 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     k_cam, k_path = jax.random.split(key_sc)
     cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)
     if stratified:
+        # wrap into the sqrt_spp x sqrt_spp grid: spp-sharded passes can round
+        # the sample count up past sqrt_spp^2, and an unwrapped s_idx would
+        # place the sub-pixel stratum OUTSIDE the pixel footprint (biased
+        # jitter into the neighboring row region)
+        s_idx = s_idx % (sqrt_spp * sqrt_spp)
         s_i = (s_idx % sqrt_spp).astype(dt)
         s_j = (s_idx // sqrt_spp).astype(dt)
         strat = (s_i, s_j, float(sqrt_spp))
@@ -118,7 +123,11 @@ def _render_pass_xla(scene: Scene, cam: CameraParams, key: jax.Array, *,
         start = c_idx * chunk
         px = jax.lax.dynamic_slice(px_all, (start,), (chunk,))
         py = jax.lax.dynamic_slice(py_all, (start,), (chunk,))
-        kc = jax.random.fold_in(key_s, c_idx)
+        # fold in the chunk's START PIXEL (not its ordinal): the stream is
+        # then independent of how chunks are distributed over a mesh, so an
+        # N-chip render is bit-identical to a 1-chip render whenever the
+        # effective chunk sizes match (see parallel/render.py)
+        kc = jax.random.fold_in(key_s, start)
         radiance = trace_rays(
             scene, cam, kc, s_idx, px, py, max_depth=max_depth,
             integrator=integrator, stratified=stratified, sqrt_spp=sqrt_spp,

@@ -29,7 +29,11 @@ def _fingerprint(cfg, scene) -> str:
     for leaf in jax.tree.leaves(scene):
         a = np.asarray(leaf)
         h.update(str(a.shape).encode())
-        h.update(a.tobytes()[:4096])
+        # hash the WHOLE buffer: scenes differing only past the first rows
+        # (e.g. later spheres of a ~500-sphere field, or diff.fit-updated
+        # params) must not fingerprint identically — resume would silently
+        # blend incompatible renders. Scene arrays are KBs; cost negligible.
+        h.update(a.tobytes())
     return h.hexdigest()[:16]
 
 
