@@ -150,6 +150,28 @@ struct Builder {
 
 }  // namespace
 
+namespace {
+
+// Shared driver once prim_box/centroids are set up.
+int run_build(Builder& b, const float* cents, int n, int max_leaf,
+              float* bbox_min, float* bbox_max, int* left, int* right,
+              int* leaf_prim, int* order_out) {
+  b.centers = cents;
+  b.max_leaf = max_leaf;
+  b.bbox_min = bbox_min;
+  b.bbox_max = bbox_max;
+  b.left = left;
+  b.right = right;
+  b.leaf_prim = leaf_prim;
+  b.order.resize(n);
+  for (int i = 0; i < n; ++i) b.order[i] = i;
+  b.build(0, n);
+  for (int i = 0; i < n; ++i) order_out[i] = b.order[i];
+  return b.n_nodes;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Build a flattened SAH BVH. Caller allocates for up to 2n nodes.
@@ -162,33 +184,50 @@ int rtt_build_bvh(const float* centers, const float* radii, int n,
                   int* right, int* leaf_prim, int* order_out) {
   if (n <= 0 || max_leaf < 1) return -1;
   Builder b;
-  b.centers = centers;
   b.radii = radii;
-  b.max_leaf = max_leaf;
-  b.bbox_min = bbox_min;
-  b.bbox_max = bbox_max;
-  b.left = left;
-  b.right = right;
-  b.leaf_prim = leaf_prim;
-  b.order.resize(n);
   b.prim_box.resize(n);
   for (int i = 0; i < n; ++i) {
-    b.order[i] = i;
     float r = std::fabs(radii[i]);
     for (int k = 0; k < 3; ++k) {
       b.prim_box[i].mn[k] = centers[i * 3 + k] - r;
       b.prim_box[i].mx[k] = centers[i * 3 + k] + r;
     }
   }
-  b.build(0, n);
-  for (int i = 0; i < n; ++i) order_out[i] = b.order[i];
-  return b.n_nodes;
+  return run_build(b, centers, n, max_leaf, bbox_min, bbox_max, left, right,
+                   leaf_prim, order_out);
+}
+
+// Same build over arbitrary primitive AABBs (pmin/pmax [n,3]); bucket keys
+// are the AABB centroids.  Box primitives get tight cluster bounds this way
+// (no bounding-sphere inflation).
+int rtt_build_bvh_aabb(const float* pmin, const float* pmax, int n,
+                       int max_leaf, float* bbox_min, float* bbox_max,
+                       int* left, int* right, int* leaf_prim,
+                       int* order_out) {
+  if (n <= 0 || max_leaf < 1) return -1;
+  Builder b;
+  b.radii = nullptr;
+  b.prim_box.resize(n);
+  std::vector<float> cents(3 * n);
+  for (int i = 0; i < n; ++i) {
+    for (int k = 0; k < 3; ++k) {
+      b.prim_box[i].mn[k] = pmin[i * 3 + k];
+      b.prim_box[i].mx[k] = pmax[i * 3 + k];
+      cents[i * 3 + k] = 0.5f * (pmin[i * 3 + k] + pmax[i * 3 + k]);
+    }
+  }
+  return run_build(b, cents.data(), n, max_leaf, bbox_min, bbox_max, left,
+                   right, leaf_prim, order_out);
 }
 
 // Treelet-cut clustering: SAH leaves of size <= max_leaf become clusters.
 // Outputs: order [n] (primitive permutation, cluster-contiguous),
 // cluster_start [n+1] (offsets into order; cluster c = order[start[c] ..
 // start[c+1]) ), cluster_min/max [n,3]. Returns the cluster count.
+static int treelet_cut(int n_nodes, const float* bmin, const float* bmax,
+                       const int* right, const int* leaf, int* cluster_start,
+                       float* cluster_min, float* cluster_max);
+
 int rtt_cluster_spheres(const float* centers, const float* radii, int n,
                         int max_leaf, int* order_out, int* cluster_start,
                         float* cluster_min, float* cluster_max) {
@@ -197,6 +236,26 @@ int rtt_cluster_spheres(const float* centers, const float* radii, int n,
   int n_nodes = rtt_build_bvh(centers, radii, n, max_leaf, bmin.data(),
                               bmax.data(), left.data(), right.data(),
                               leaf.data(), order_out);
+  return treelet_cut(n_nodes, bmin.data(), bmax.data(), right.data(),
+                     leaf.data(), cluster_start, cluster_min, cluster_max);
+}
+
+// AABB-primitive variant of the treelet-cut clustering (box primitives).
+int rtt_cluster_aabbs(const float* pmin, const float* pmax, int n,
+                      int max_leaf, int* order_out, int* cluster_start,
+                      float* cluster_min, float* cluster_max) {
+  std::vector<float> bmin(2 * n * 3), bmax(2 * n * 3);
+  std::vector<int> left(2 * n), right(2 * n), leaf(2 * n);
+  int n_nodes = rtt_build_bvh_aabb(pmin, pmax, n, max_leaf, bmin.data(),
+                                   bmax.data(), left.data(), right.data(),
+                                   leaf.data(), order_out);
+  return treelet_cut(n_nodes, bmin.data(), bmax.data(), right.data(),
+                     leaf.data(), cluster_start, cluster_min, cluster_max);
+}
+
+static int treelet_cut(int n_nodes, const float* bmin, const float* bmax,
+                       const int* right, const int* leaf, int* cluster_start,
+                       float* cluster_min, float* cluster_max) {
   if (n_nodes < 0) return -1;
   int nc = 0;
   int pos = 0;

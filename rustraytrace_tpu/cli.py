@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -34,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("scene_num", nargs="?", type=int, default=None,
                    help="scene number for the_next_week (1-9)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "sphere_kernel", "megakernel"],
+                   choices=["auto", "xla", "sphere_kernel", "megakernel",
+                            "wavefront"],
                    help="execution backend (auto picks the fastest valid one)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels/spp across all visible devices")
@@ -90,22 +90,23 @@ def main(argv=None) -> int:
         accum_state = load_checkpoint(args.resume, cfg, scene)
         print(f"resumed at {accum_state['spp_done']} spp", file=sys.stderr)
 
-    t0 = time.time()
+    from .utils.metrics import RenderMeter
+
     n_pix = cfg.image_width * cfg.image_height
+    meter = RenderMeter(n_pixels=n_pix).start()
+    prev = {"done": accum_state["spp_done"] if accum_state else 0}
 
     def progress(done, total):
-        el = time.time() - t0
-        rate = done * n_pix / max(el, 1e-9)
-        eta = el / max(done, 1) * (total - done)
+        # structured per-pass log line via the shared RenderMeter — the
+        # analog of the reference's "pass/total (%) elapsed eta" stderr line
+        # (src/gpu/mod.rs:469-480)
+        meter.lap(done - prev["done"])
+        prev["done"] = done
         if not args.quiet:
-            # structured per-pass log line, the analog of the reference's
-            # "pass/total (%) elapsed eta" stderr line (src/gpu/mod.rs:469-480)
-            print(
-                f'{{"pass_spp": {done}, "total_spp": {total}, '
-                f'"elapsed_s": {el:.1f}, "paths_per_s": {rate:.0f}, '
-                f'"eta_s": {eta:.1f}}}',
-                file=sys.stderr, flush=True,
-            )
+            eta = (total - done) * n_pix / max(meter.paths_per_sec, 1e-9)
+            print(meter.json_line(pass_spp=done, total_spp=total,
+                                  eta_s=round(eta, 1)),
+                  file=sys.stderr, flush=True)
 
     def on_pass(state):
         if args.checkpoint:
@@ -135,12 +136,7 @@ def main(argv=None) -> int:
         save_checkpoint(args.checkpoint, state, cfg, scene)
     image_io.write_image(img, args.output)
     if not args.quiet:
-        el = time.time() - t0
-        print(
-            f'{{"done_spp": {state["spp_done"]}, "elapsed_s": {el:.1f}, '
-            f'"paths_per_s": {state["spp_done"] * n_pix / max(el, 1e-9):.0f}}}',
-            file=sys.stderr,
-        )
+        print(meter.json_line(done_spp=state["spp_done"]), file=sys.stderr)
     return 0
 
 

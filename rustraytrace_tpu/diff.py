@@ -38,13 +38,19 @@ from .scene import Scene
 def render_mean(scene: Scene, cam: CameraParams, key: jax.Array, *,
                 width: int, height: int, spp: int, max_depth: int,
                 mesh: Mesh, integrator: str = "path",
-                chunk: int = 65536) -> jnp.ndarray:
-    """Differentiable MEAN-radiance render [H, W, 3] (linear space)."""
+                chunk: int = 65536, warp_primary: bool = True) -> jnp.ndarray:
+    """Differentiable MEAN-radiance render [H, W, 3] (linear space).
+
+    ``warp_primary`` (default ON here) enables the warped-area silhouette
+    reparameterization (ops/warp.py): forward values are unchanged, but the
+    backward pass gains the sphere-visibility boundary term — without it,
+    sphere centers/radii have interior-only gradients and coverage changes
+    are invisible to the optimizer."""
     total = spp_traced(spp, mesh)
     acc = render_pass_sharded(
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mesh=mesh, integrator=integrator, chunk=chunk,
-        remat=True,
+        remat=True, warp_primary=warp_primary,
     )
     return acc / total
 

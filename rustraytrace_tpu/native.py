@@ -51,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.rtt_u8_ppm_p3.restype = ctypes.c_longlong
         lib.rtt_build_bvh.restype = ctypes.c_int
         lib.rtt_cluster_spheres.restype = ctypes.c_int
+        # AABB-primitive entry points (box clustering); absent in libraries
+        # built before round 2 — rebuilt on demand, guarded at call sites
+        for fn in ("rtt_build_bvh_aabb", "rtt_cluster_aabbs"):
+            if hasattr(lib, fn):
+                getattr(lib, fn).restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -134,6 +139,33 @@ def build_sphere_clusters(centers: np.ndarray, radii: np.ndarray,
     from .ops.bvh import cluster_spheres_numpy
 
     return cluster_spheres_numpy(centers, radii, max_leaf)
+
+
+def build_aabb_clusters(pmin: np.ndarray, pmax: np.ndarray,
+                        max_leaf: int = 16,
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """SAH treelet cut over arbitrary primitive AABBs (box primitives get
+    tight cluster bounds).  Same contract as :func:`build_sphere_clusters`."""
+    pmin = np.ascontiguousarray(pmin, np.float32)
+    pmax = np.ascontiguousarray(pmax, np.float32)
+    n = pmin.shape[0]
+    lib = _load()
+    if lib is not None and hasattr(lib, "rtt_cluster_aabbs"):
+        order = np.empty(n, np.int32)
+        start = np.empty(n + 1, np.int32)
+        cmin = np.empty((n, 3), np.float32)
+        cmax = np.empty((n, 3), np.float32)
+        nc = lib.rtt_cluster_aabbs(
+            _cptr(pmin, ctypes.c_float), _cptr(pmax, ctypes.c_float),
+            n, max_leaf, _cptr(order, ctypes.c_int),
+            _cptr(start, ctypes.c_int), _cptr(cmin, ctypes.c_float),
+            _cptr(cmax, ctypes.c_float))
+        if nc > 0:
+            return order, start[: nc + 1].copy(), cmin[:nc].copy(), cmax[:nc].copy()
+    from .ops.bvh import cluster_aabbs_numpy
+
+    return cluster_aabbs_numpy(pmin, pmax, max_leaf)
 
 
 def build_bvh(centers: np.ndarray, radii: np.ndarray, max_leaf: int = 2):

@@ -25,9 +25,20 @@ def _area(mn, mx) -> float:
 def build_bvh_numpy(centers: np.ndarray, radii: np.ndarray, max_leaf: int = 2):
     centers = np.asarray(centers, np.float32)
     radii = np.abs(np.asarray(radii, np.float32))
+    return build_bvh_aabb_numpy(
+        centers - radii[:, None], centers + radii[:, None], max_leaf)
+
+
+def build_bvh_aabb_numpy(pmin: np.ndarray, pmax: np.ndarray,
+                         max_leaf: int = 2):
+    """Same SAH build over arbitrary primitive AABBs (bucket keys = AABB
+    centroids).  Spheres are the centers±radius special case; box primitives
+    pass their slabs directly (tight cluster bounds, no bounding-sphere
+    inflation)."""
+    pmin = np.asarray(pmin, np.float32)
+    pmax = np.asarray(pmax, np.float32)
+    centers = 0.5 * (pmin + pmax)
     n = centers.shape[0]
-    pmin = centers - radii[:, None]
-    pmax = centers + radii[:, None]
 
     order = np.arange(n)
     bmin, bmax, left, right, leaf = [], [], [], [], []
@@ -98,8 +109,16 @@ def build_bvh_numpy(centers: np.ndarray, radii: np.ndarray, max_leaf: int = 2):
 
 def cluster_spheres_numpy(centers, radii, max_leaf: int = 16
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    bmin, bmax, left, right, leaf, order = build_bvh_numpy(
-        centers, radii, max_leaf)
+    centers = np.asarray(centers, np.float32)
+    radii = np.abs(np.asarray(radii, np.float32))
+    return cluster_aabbs_numpy(
+        centers - radii[:, None], centers + radii[:, None], max_leaf)
+
+
+def cluster_aabbs_numpy(pmin, pmax, max_leaf: int = 16
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    bmin, bmax, left, right, leaf, order = build_bvh_aabb_numpy(
+        pmin, pmax, max_leaf)
     is_leaf = leaf >= 0
     starts = leaf[is_leaf]
     counts = -right[is_leaf]

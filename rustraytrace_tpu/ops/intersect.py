@@ -31,6 +31,7 @@ CLS_NONE = 0
 CLS_SPHERE = 1
 CLS_QUAD = 2
 CLS_MEDIUM = 3
+CLS_BOX = 4
 
 
 @jax.tree_util.register_dataclass
@@ -147,6 +148,65 @@ def hit_quads(o, d, scene: Scene, t_min, t_max):
     idx = jnp.argmin(tq, axis=-1)
     tbest = jnp.take_along_axis(tq, idx[:, None], axis=-1)[:, 0]
     return tbest, idx.astype(jnp.int32), jnp.any(ok, axis=-1)
+
+
+def _safe_inv_dir(d):
+    """Sign-preserving 1/d with zero components nudged to ±1e-20 (the IEEE
+    inf-propagating slab test is exact, but the nudge keeps gradients
+    finite)."""
+    sgn = jnp.where(d < 0.0, -1e-20, 1e-20)
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20, sgn, d)
+
+
+def hit_boxes(o, d, scene: Scene, t_min, t_max):
+    """Closest axis-aligned box hit: (t [R], idx [R], any [R]).
+
+    Slab test over [R,B]; matches the reference's make_box six-quad geometry
+    (quad.rs:90-113) exactly: the entry face if t_entry is in (t_min, t_max),
+    else the exit face (a ray starting inside a box hits its far wall, the
+    same near-root-else-far-root policy as sphere.rs:83-89 and the per-quad
+    t-window test)."""
+    inv = _safe_inv_dir(d)  # [R,3]
+    ta = (scene.box_lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tb = (scene.box_hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t1 = jnp.max(jnp.minimum(ta, tb), axis=-1)  # [R,B] entry
+    t2 = jnp.min(jnp.maximum(ta, tb), axis=-1)  # [R,B] exit
+    near_ok = (t1 > t_min[:, None]) & (t1 < t_max[:, None])
+    root = jnp.where(near_ok, t1, t2)
+    ok = (
+        (t1 < t2)
+        & (root > t_min[:, None]) & (root < t_max[:, None])
+        & (scene.box_mask[None, :] > 0)
+    )
+    tbx = jnp.where(ok, root, T_MAX)
+    idx = jnp.argmin(tbx, axis=-1)
+    tbest = jnp.take_along_axis(tbx, idx[:, None], axis=-1)[:, 0]
+    return tbest, idx.astype(jnp.int32), jnp.any(ok, axis=-1)
+
+
+def box_outward_normal(o, d, t, lo, hi):
+    """Outward unit normal of the box face hit at parameter t.
+
+    o,d,t: [R]/[R,3] rays; lo,hi: [R,3] the WINNING box's bounds (gathered).
+    Recomputes the per-axis slab times and picks the face axis: the entry
+    face is the arg-max of per-axis entry times (exit face: arg-min of exit
+    times, for rays starting inside).  Identical to the quad expansion's
+    outward normals (see scene._box_quads)."""
+    inv = _safe_inv_dir(d)
+    ta = (lo - o) * inv
+    tb = (hi - o) * inv
+    tn = jnp.minimum(ta, tb)  # [R,3]
+    tf = jnp.maximum(ta, tb)
+    t1 = jnp.max(tn, axis=-1)
+    # entry hit if the chosen t equals the entry time (up to fp noise)
+    is_entry = jnp.abs(t - t1) <= 1e-3 * (1.0 + jnp.abs(t1))
+    axis_t = jnp.where(is_entry[:, None], tn, tf)
+    # face axis: entry -> argmax of tn; exit -> argmin of tf
+    axis = jnp.where(is_entry, jnp.argmax(tn, axis=-1), jnp.argmin(tf, axis=-1))
+    del axis_t
+    sgn_d = jnp.where(d >= 0.0, 1.0, -1.0)  # [R,3]
+    face_sign = jnp.where(is_entry, -1.0, 1.0)[:, None] * sgn_d
+    return face_sign * jax.nn.one_hot(axis, 3, dtype=o.dtype)
 
 
 def _medium_freeflight(t1, t2, inside_ok, neg_inv_density, dir_len, u, t_min, t_best):
@@ -283,6 +343,8 @@ def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> Hi
     if t_max is None:
         t_max = jnp.full((R,), T_MAX, dt)
 
+    has_boxes = "boxes" in scene.features
+
     ts, is_, anys = hit_spheres(o, d, time, scene, t_min, t_max)
     tq, iq, anyq = hit_quads(o, d, scene, t_min, t_max)
 
@@ -291,6 +353,14 @@ def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> Hi
     better_q = anyq & (tq < t_geo)
     t_geo = jnp.where(better_q, tq, t_geo)
     cls = jnp.where(better_q, CLS_QUAD, cls)
+
+    if has_boxes:
+        tbx, ib, anyb = hit_boxes(o, d, scene, t_min, t_max)
+        better_b = anyb & (tbx < t_geo)
+        t_geo = jnp.where(better_b, tbx, t_geo)
+        cls = jnp.where(better_b, CLS_BOX, cls)
+    else:
+        ib = jnp.zeros((R,), jnp.int32)
 
     tm, mmat, anym = hit_media(o, d, scene, t_min, t_geo, u_media)
     better_m = anym & (tm < t_geo)
@@ -326,6 +396,11 @@ def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> Hi
     is_medium = cls == CLS_MEDIUM
 
     outward = jnp.where(is_sphere[:, None], outward_s, qn)
+    if has_boxes:
+        # --- box record: outward normal from the winning box's slab faces ---
+        bn = box_outward_normal(o, d, t, scene.box_lo[ib], scene.box_hi[ib])
+        is_boxw = cls == CLS_BOX
+        outward = jnp.where(is_boxw[:, None], bn, outward)
     outward = jnp.where(is_medium[:, None],
                         jnp.asarray([1.0, 0.0, 0.0], dt)[None, :], outward)
     # set_face_normal (hittable.rs:48-51); media always front_face=true with
@@ -337,6 +412,12 @@ def closest_hit(o, d, time, scene: Scene, u_media, t_min=None, t_max=None) -> Hi
     mat = jnp.where(is_sphere, mat_s, jnp.where(is_quad, mat_q, mmat))
     u = jnp.where(is_sphere, us, jnp.where(is_quad, uq, 0.0))
     v = jnp.where(is_sphere, vs, jnp.where(is_quad, vq, 0.0))
+    if has_boxes:
+        # boxes carry no UVs (their textures are solid or 3-D procedural —
+        # the builder bakes image-textured boxes to quads)
+        mat = jnp.where(is_boxw, scene.box_mat[ib], mat)
+        u = jnp.where(is_boxw, 0.0, u)
+        v = jnp.where(is_boxw, 0.0, v)
 
     return HitRecord(valid=valid, t=t, p=p, normal=normal, front_face=front,
                      mat=mat, u=u, v=v)

@@ -190,11 +190,13 @@ def _sphere_hit_raw(sph_tab, quad_tab, ox, oy, oz, dx, dy, dz, tm, *,
 
 def sphere_kernel_eligible(scene: Scene) -> bool:
     """The hybrid closest-hit kernel covers spheres + quads in-kernel (quad
-    table must fit SMEM: <= 256 quads — book2_final's 2401 baked box quads
-    exceed it and measured slower via VMEM scalar reads), constant media via
-    the XLA free-flight sampler, and all texture kinds outside the kernel."""
-    return ("quads" not in scene.features
-            or scene.quad_q.shape[0] <= 256)
+    table must fit SMEM: <= 256 quads — exceeding it measured slower via
+    VMEM scalar reads), constant media via the XLA free-flight sampler, and
+    all texture kinds outside the kernel.  Box-primitive scenes route to the
+    megakernel (TPU) or the XLA path instead."""
+    return ("boxes" not in scene.features
+            and ("quads" not in scene.features
+                 or scene.quad_q.shape[0] <= 256))
 
 
 def closest_hit_spheres_pallas(o, d, time, scene: Scene, *,

@@ -70,6 +70,7 @@ J_IOR = 13
 J_TEXK = 14  # 0 solid / 1 checker (texture.rs:63-77)
 J_C2R, J_C2G, J_C2B = 15, 16, 17
 J_INVS = 18  # checker inv_scale
+J_IMG = 19  # image index (wavefront segment mode texel deferral)
 J_COLS = 24
 
 
@@ -129,6 +130,7 @@ def pack_joined_table(scene: Scene) -> jnp.ndarray:
     # dual-use scale column: checker inv_scale / marble noise_scale
     tab = tab.at[:, J_INVS].set(jnp.where(
         tk == 3, scene.tex_noise_scale[mtex], scene.tex_inv_scale[mtex]))
+    tab = tab.at[:, J_IMG].set(scene.tex_image[mtex].astype(_F32))
     return tab
 
 
@@ -165,6 +167,48 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, Q_INVS].set(jnp.where(
         tk == 3, scene.tex_noise_scale[mtex], scene.tex_inv_scale[mtex]))
     return tab
+
+
+# box SMEM table columns (axis-aligned box primitives; the slab-test
+# replacement for the reference's make_box six-quad expansion, quad.rs:90-113)
+B_LOX, B_LOY, B_LOZ = 0, 1, 2
+B_HIX, B_HIY, B_HIZ = 3, 4, 5
+B_COLS = 8
+
+# box winner-attribute rows in the batab gather table (order matters)
+_BOX_ATTRS_BASE = 12  # kind, a(3), fuzz, ior, lo(3), hi(3)
+
+
+def pack_box_tables(scene: Scene, max_leaf: int = 32):
+    """(btab [NB,8] f32, order, cl_start [C+1] i32, cl_bounds [C,8] f32) of
+    the ACTIVE boxes, SAH-cluster-reordered (tight AABB clusters via the
+    native rtt_cluster_aabbs; the same treelet-cut machinery as spheres)."""
+    import numpy as np
+
+    from ..native import build_aabb_clusters
+
+    mask = np.asarray(scene.box_mask) > 0
+    lo = np.asarray(scene.box_lo, np.float32)[mask]
+    hi = np.asarray(scene.box_hi, np.float32)[mask]
+    n = lo.shape[0]
+    if n == 0:
+        return (np.zeros((1, B_COLS), np.float32), np.zeros(1, np.int32),
+                np.zeros(2, np.int32), np.zeros((1, 8), np.float32))
+    if n > max_leaf:
+        order, cl_start, cl_min, cl_max = build_aabb_clusters(
+            lo, hi, max_leaf=max_leaf)
+    else:
+        order = np.arange(n, dtype=np.int32)
+        cl_start = np.asarray([0, n], np.int32)
+        cl_min = lo.min(axis=0, keepdims=True)
+        cl_max = hi.max(axis=0, keepdims=True)
+    lo, hi = lo[order], hi[order]
+    btab = np.zeros((n, B_COLS), np.float32)
+    btab[:, B_LOX:B_LOZ + 1] = lo
+    btab[:, B_HIX:B_HIZ + 1] = hi
+    clb = np.concatenate(
+        [cl_min, cl_max, np.zeros((cl_min.shape[0], 2), np.float32)], axis=1)
+    return btab, order, cl_start.astype(np.int32), clb
 
 
 # constant-medium SMEM table columns (constant_medium.rs)
@@ -265,14 +309,19 @@ def pack_light_table(scene: Scene):
 
 
 def megakernel_mis_eligible(scene: Scene) -> bool:
-    """Book-3 MIS in-kernel: megakernel-eligible scene + 1..4 NEE lights +
-    no isotropic materials (media are already excluded)."""
+    """Book-3 MIS in-kernel: megakernel-eligible scene + 1..16 NEE lights +
+    no isotropic materials (media are already excluded).
+
+    The light loops unroll at compile time (static n_lights), so the cap is
+    a compile-time cost knob, not a hardware limit: every reference scene
+    has <= 2 NEE lights; 16 leaves headroom for user scenes while keeping
+    the unrolled pdf/sample code well inside the instruction budget."""
     import numpy as np
 
     if not megakernel_eligible(scene):
         return False
     n_lights = int(np.asarray(jnp.sum(scene.light_mask)))
-    if not (1 <= n_lights <= 4):
+    if not (1 <= n_lights <= 16):
         return False
     used = set(np.asarray(scene.mat_kind).tolist())
     from ..scene import ISOTROPIC
@@ -297,63 +346,97 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  has_checker: bool, mis: bool = False, n_lights: int = 0,
                  stratified: bool = False, sqrt_spp: int = 0,
                  n_media: int = 0, has_noise: bool = False,
-                 n_slabs: int = 4):
+                 n_slabs: int = 4, n_boxes: int = 0, n_bclusters: int = 0,
+                 b_slabs: int = 1, n_sclusters: int = 0,
+                 segment: bool = False, has_image: bool = False):
+    """Build either the monolithic megakernel (``segment=False``: in-kernel
+    camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
+    (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
+    building block that lets XLA resolve image-texture texels between
+    bounces; see ops/pallas_wavefront.py).  Both modes share every inner
+    closure (intersect, shading, RR), so estimator semantics are identical
+    by construction.
+
+    ``has_image`` (segment mode only): image-textured sphere hits get unit
+    albedo in-kernel and emit a pending record (outward normal,
+    ±(image_id+1)) for the XLA texel resolve — +albedo multiply, -emission
+    add; XLA derives the sphere UV from the normal (acos/atan2 have no
+    Mosaic lowering)."""
     shape = (tile_rows, TILE_LANES)
     use_clusters = n_clusters > 0
     tiles_x = -(-width // _BLK)
-    has_tex = has_checker or has_noise
+    has_tex = has_checker or has_noise or has_image
     inv_pi = 0.3183098861837907
 
-    def kernel(tab_ref, qtab_ref, clb_ref, cls_ref, ltab_ref, mtab_ref,
-               ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
-               rx_ref, ry_ref, rz_ref):
+    def kernel(*refs):
+        if segment:
+            (tab_ref, qtab_ref, clb_ref, cls_ref, sclb_ref, scls_ref,
+             btab_ref, bclb_ref,
+             bcls_ref, batab_ref, ltab_ref, mtab_ref,
+             ptab_ref, vtab_ref, atab_ref, seed_ref, bg_ref,
+             st_ref, sto_ref, pend_ref) = refs
+        else:
+            (tab_ref, qtab_ref, clb_ref, cls_ref, sclb_ref, scls_ref,
+             btab_ref, bclb_ref,
+             bcls_ref, batab_ref, ltab_ref, mtab_ref,
+             ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
+             rx_ref, ry_ref, rz_ref) = refs
 
-        def fetch_attr(a, lane, slab):
-            """Winner-attribute lookup: atab row-slab gathers (lane-confined)
-            selected by the slab index — one fetch per bounce instead of
-            per-sphere attribute carries in the hot loop."""
-            val = jnp.take_along_axis(
-                jnp.broadcast_to(atab_ref[a * n_slabs:a * n_slabs + 1, :],
-                                 shape), lane, axis=1)
-            for k in range(1, n_slabs):
-                vk = jnp.take_along_axis(
-                    jnp.broadcast_to(
-                        atab_ref[a * n_slabs + k:a * n_slabs + k + 1, :],
-                        shape), lane, axis=1)
-                val = jnp.where(slab == k, vk, val)
-            return val
+        def _make_fetch(ref, nsl):
+            def fetch(a, lane, slab):
+                """Winner-attribute lookup: row-slab gathers (lane-confined)
+                selected by the slab index — one fetch per bounce instead of
+                per-primitive attribute carries in the hot loop."""
+                val = jnp.take_along_axis(
+                    jnp.broadcast_to(ref[a * nsl:a * nsl + 1, :], shape),
+                    lane, axis=1)
+                for k in range(1, nsl):
+                    vk = jnp.take_along_axis(
+                        jnp.broadcast_to(ref[a * nsl + k:a * nsl + k + 1, :],
+                                         shape), lane, axis=1)
+                    val = jnp.where(slab == k, vk, val)
+                return val
+            return fetch
+
+        fetch_attr = _make_fetch(atab_ref, n_slabs)
+        fetch_batt = _make_fetch(batab_ref, b_slabs)
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
         ones = jnp.ones(shape, _F32)
 
-        # per-lane pixel coordinates: ray slots are swizzled into 32x32
-        # screen blocks so a program's rays share a narrow primary frustum
-        # (what makes tile-level cluster culling bite); the host unswizzles
-        # the output with one gather
-        gid = (
-            pl.program_id(0) * (tile_rows * TILE_LANES)
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * TILE_LANES
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        )
-        blk = gid // (_BLK * _BLK)
-        within = gid % (_BLK * _BLK)
-        pxi = (blk % tiles_x) * _BLK + within % _BLK
-        pyi = (blk // tiles_x) * _BLK + within // _BLK
-        px = jnp.minimum(pxi, width - 1).astype(_F32)
-        py = jnp.minimum(pyi, height - 1).astype(_F32)
+        if not segment:
+            # per-lane pixel coordinates: ray slots are swizzled into 32x32
+            # screen blocks so a program's rays share a narrow primary
+            # frustum (what makes tile-level cluster culling bite); the host
+            # unswizzles the output with one gather
+            gid = (
+                pl.program_id(0) * (tile_rows * TILE_LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * TILE_LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            )
+            blk = gid // (_BLK * _BLK)
+            within = gid % (_BLK * _BLK)
+            pxi = (blk % tiles_x) * _BLK + within % _BLK
+            pyi = (blk // tiles_x) * _BLK + within // _BLK
+            px = jnp.minimum(pxi, width - 1).astype(_F32)
+            py = jnp.minimum(pyi, height - 1).astype(_F32)
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
             def body(s, carry):
+                # tab_ref is the geometry-ONLY SMEM table (cx, cy, cz, r2
+                # [, vx, vy, vz]): the hot loop reads nothing else, and the
+                # slim layout keeps 10k-sphere scenes inside the scalar-
+                # memory budget (winner attributes live in the VMEM atab)
                 bt, bi = carry
-                cx = tab_ref[s, J_CX]
-                cy = tab_ref[s, J_CY]
-                cz = tab_ref[s, J_CZ]
-                r2 = tab_ref[s, J_R2]
+                cx = tab_ref[s, 0]
+                cy = tab_ref[s, 1]
+                cz = tab_ref[s, 2]
+                r2 = tab_ref[s, 3]
                 if moving:
-                    cx = cx + tm * tab_ref[s, J_VX]
-                    cy = cy + tm * tab_ref[s, J_VY]
-                    cz = cz + tm * tab_ref[s, J_VZ]
+                    cx = cx + tm * tab_ref[s, 4]
+                    cy = cy + tm * tab_ref[s, 5]
+                    cz = cz + tm * tab_ref[s, 6]
                 ocx = cx - ox
                 ocy = cy - oy
                 ocz = cz - oz
@@ -370,25 +453,32 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
             init = (jnp.full(shape, _BIG, _F32),
                     jnp.full(shape, -1, jnp.int32))
-            if use_clusters:
-                # SAH-cluster culling: test the cluster AABB against the
-                # whole ray tile; only descend into its spheres if ANY lane
-                # hits the box closer than its current best t.
+            if use_clusters or n_boxes:
+                # sign-safe inverse direction for slab tests (clusters/boxes)
                 sgx = jnp.where(dx < 0.0, -1e-20, 1e-20)
                 sgy = jnp.where(dy < 0.0, -1e-20, 1e-20)
                 sgz = jnp.where(dz < 0.0, -1e-20, 1e-20)
                 ivx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, sgx, dx)
                 ivy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, sgy, dy)
                 ivz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, sgz, dz)
+            def make_cull(bounds_ref, starts_ref, inner):
+                """AABB treelet cull: slab-test node ci's bounds against
+                the whole ray tile; descend into inner over
+                [starts[ci], starts[ci+1]) only if ANY lane hits the box
+                closer than its current best t.  Stacking two of these
+                (super-clusters over clusters) gives the 2-level SAH
+                hierarchy that keeps 10k-sphere scenes fast; the analog of
+                the reference's recursive BVH descent (bvh.rs:160-172) with
+                tile-coherent, compiler-friendly control flow."""
 
-                def cl_body(ci, carry):
+                def cull_body(ci, carry):
                     bt = carry[0]
-                    tx1 = (clb_ref[ci, 0] - ox) * ivx
-                    tx2 = (clb_ref[ci, 3] - ox) * ivx
-                    ty1 = (clb_ref[ci, 1] - oy) * ivy
-                    ty2 = (clb_ref[ci, 4] - oy) * ivy
-                    tz1 = (clb_ref[ci, 2] - oz) * ivz
-                    tz2 = (clb_ref[ci, 5] - oz) * ivz
+                    tx1 = (bounds_ref[ci, 0] - ox) * ivx
+                    tx2 = (bounds_ref[ci, 3] - ox) * ivx
+                    ty1 = (bounds_ref[ci, 1] - oy) * ivy
+                    ty2 = (bounds_ref[ci, 4] - oy) * ivy
+                    tz1 = (bounds_ref[ci, 2] - oz) * ivz
+                    tz2 = (bounds_ref[ci, 5] - oz) * ivz
                     t1 = jnp.maximum(
                         jnp.maximum(jnp.minimum(tx1, tx2),
                                     jnp.minimum(ty1, ty2)),
@@ -399,18 +489,64 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                         jnp.maximum(tz1, tz2))
                     hit_box = (t1 <= t2) & (t2 > T_MIN) & (t1 < bt)
                     any_hit = jnp.max(jnp.where(hit_box, 1.0, 0.0)) > 0.0
-                    lo = cls_ref[ci]
-                    hi_ = cls_ref[ci + 1]
+                    lo = starts_ref[ci]
+                    hi_ = starts_ref[ci + 1]
                     return jax.lax.cond(
                         any_hit,
-                        lambda c: jax.lax.fori_loop(lo, hi_, body, c),
+                        lambda c: jax.lax.fori_loop(lo, hi_, inner, c),
                         lambda c: c,
                         carry,
                     )
 
+                return cull_body
+
+            if n_sclusters > 1:
+                scl_body = make_cull(sclb_ref, scls_ref,
+                                     make_cull(clb_ref, cls_ref, body))
+                carry = jax.lax.fori_loop(0, n_sclusters, scl_body, init)
+            elif use_clusters:
+                cl_body = make_cull(clb_ref, cls_ref, body)
                 carry = jax.lax.fori_loop(0, n_clusters, cl_body, init)
             else:
                 carry = jax.lax.fori_loop(0, n_spheres, body, init)
+
+            # --- axis-aligned box primitives: slab tests over the SAH-
+            #     cluster-culled box table (the reference tests the same
+            #     geometry as 6 quads each through its BVH, bvh.rs:160-172 /
+            #     quad.rs:90-113) ---
+            if n_boxes:
+                def bbody(s, bcarry):
+                    bt_, bbi_ = bcarry
+                    tx1 = (btab_ref[s, B_LOX] - ox) * ivx
+                    tx2 = (btab_ref[s, B_HIX] - ox) * ivx
+                    ty1 = (btab_ref[s, B_LOY] - oy) * ivy
+                    ty2 = (btab_ref[s, B_HIY] - oy) * ivy
+                    tz1 = (btab_ref[s, B_LOZ] - oz) * ivz
+                    tz2 = (btab_ref[s, B_HIZ] - oz) * ivz
+                    t1 = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx1, tx2),
+                                    jnp.minimum(ty1, ty2)),
+                        jnp.minimum(tz1, tz2))
+                    t2 = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx1, tx2),
+                                    jnp.maximum(ty1, ty2)),
+                        jnp.maximum(tz1, tz2))
+                    near_ok = (t1 > T_MIN) & (t1 < T_MAX)
+                    # entry face if in window, else exit face (ray inside)
+                    root = jnp.where(near_ok, t1, t2)
+                    take = ((t1 < t2) & (root > T_MIN) & (root < T_MAX)
+                            & (root < bt_))
+                    return (jnp.where(take, root, bt_),
+                            jnp.where(take, s, bbi_))
+
+                binit = (carry[0], jnp.full(shape, -1, jnp.int32))
+                if n_bclusters > 1:
+                    bt, bbi = jax.lax.fori_loop(
+                        0, n_bclusters,
+                        make_cull(bclb_ref, bcls_ref, bbody), binit)
+                else:
+                    bt, bbi = jax.lax.fori_loop(0, n_boxes, bbody, binit)
+                carry = (bt, carry[1])
 
             def qbody(qi, carry):
                 (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
@@ -507,6 +643,85 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 c2b = fetch_attr(na + 3, lane, slab)
                 ivs = fetch_attr(na + 4, lane, slab)
                 carry = carry + (tk, c2r, c2g, c2b, ivs)
+            if has_image:
+                # image index of the winning sphere's texture; only sphere
+                # materials may carry image textures (wavefront_eligible),
+                # so the loops below never need to update it: any later
+                # quad/box/media winner overwrites tk away from TEX_IMAGE
+                img_w = jnp.where(shit, fetch_attr(na + 5, lane, slab), 0.0)
+
+            if n_boxes:
+                # box-winner attributes + face normal: refetch lo/hi through
+                # the batab slab gathers, recompute the winning slab axis
+                (bt2, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
+                bwon = bbi >= 0
+                blane = bbi & 127
+                bslab = bbi >> 7
+                bkind = fetch_batt(0, blane, bslab)
+                bar = fetch_batt(1, blane, bslab)
+                bag = fetch_batt(2, blane, bslab)
+                bab = fetch_batt(3, blane, bslab)
+                bfz = fetch_batt(4, blane, bslab)
+                bio = fetch_batt(5, blane, bslab)
+                blox = fetch_batt(6, blane, bslab)
+                bloy = fetch_batt(7, blane, bslab)
+                bloz = fetch_batt(8, blane, bslab)
+                bhix = fetch_batt(9, blane, bslab)
+                bhiy = fetch_batt(10, blane, bslab)
+                bhiz = fetch_batt(11, blane, bslab)
+                tx1 = (blox - ox) * ivx
+                tx2 = (bhix - ox) * ivx
+                ty1 = (bloy - oy) * ivy
+                ty2 = (bhiy - oy) * ivy
+                tz1 = (bloz - oz) * ivz
+                tz2 = (bhiz - oz) * ivz
+                txn = jnp.minimum(tx1, tx2)
+                txf = jnp.maximum(tx1, tx2)
+                tyn = jnp.minimum(ty1, ty2)
+                tyf = jnp.maximum(ty1, ty2)
+                tzn = jnp.minimum(tz1, tz2)
+                tzf = jnp.maximum(tz1, tz2)
+                t1b = jnp.maximum(jnp.maximum(txn, tyn), tzn)
+                entry = (t1b > T_MIN) & (t1b < T_MAX)
+                # face axis: entry -> argmax of slab entries; exit (origin
+                # inside the box) -> argmin of slab exits; outward sign from
+                # the ray direction, matching the quad expansion's normals
+                ex_ = (txn >= tyn) & (txn >= tzn)
+                ey_ = (~ex_) & (tyn >= tzn)
+                xx_ = (txf <= tyf) & (txf <= tzf)
+                xy_ = (~xx_) & (tyf <= tzf)
+                usex = (entry & ex_) | (~entry & xx_)
+                usey = (entry & ey_) | (~entry & xy_)
+                s_e = jnp.where(entry, -1.0, 1.0)
+                bnx = jnp.where(usex,
+                                s_e * jnp.where(dx >= 0.0, 1.0, -1.0), 0.0)
+                bny = jnp.where(usey,
+                                s_e * jnp.where(dy >= 0.0, 1.0, -1.0), 0.0)
+                bnz = jnp.where(usex | usey, 0.0,
+                                s_e * jnp.where(dz >= 0.0, 1.0, -1.0))
+                out = (bt2,
+                       jnp.where(bwon, bkind, kind),
+                       jnp.where(bwon, bar, ar),
+                       jnp.where(bwon, bag, ag),
+                       jnp.where(bwon, bab, ab),
+                       jnp.where(bwon, bfz, fz),
+                       jnp.where(bwon, bio, io),
+                       jnp.where(bwon, bnx, nx),
+                       jnp.where(bwon, bny, ny),
+                       jnp.where(bwon, bnz, nz))
+                if has_tex:
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    btk = fetch_batt(12, blane, bslab)
+                    bc2r = fetch_batt(13, blane, bslab)
+                    bc2g = fetch_batt(14, blane, bslab)
+                    bc2b = fetch_batt(15, blane, bslab)
+                    bivs = fetch_batt(16, blane, bslab)
+                    out = out + (jnp.where(bwon, btk, tk),
+                                 jnp.where(bwon, bc2r, c2r),
+                                 jnp.where(bwon, bc2g, c2g),
+                                 jnp.where(bwon, bc2b, c2b),
+                                 jnp.where(bwon, bivs, ivs))
+                carry = out
 
             if n_quads:
                 carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
@@ -596,6 +811,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     out = out + (jnp.where(take, 0.0, tk), c2r, c2g, c2b,
                                  ivs)
                 carry = out
+            if has_image:
+                carry = carry + (img_w,)
             return carry
 
         def bounce_body(state):
@@ -629,7 +846,9 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             pz_ = oz + t * dz
 
             if has_tex:
-                (tk, c2r, c2g, c2b, ivs) = hitres[10:]
+                (tk, c2r, c2g, c2b, ivs) = hitres[10:15]
+            if has_image:
+                img_w = hitres[15]
             if has_checker:
                 # 3-D lattice parity (texture.rs:63-77): odd cells take c2
                 csum = (jnp.floor(ivs * px_).astype(jnp.int32)
@@ -720,7 +939,32 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # front_face (the_rest_of_your_life/material.rs:154-161)
             is_light = kind == float(DIFFUSE_LIGHT)
             emit_gate = is_light & front if mis else is_light
-            lf = alive * jnp.where(emit_gate, 1.0, 0.0)
+            if has_image:
+                # texel values are unknown in-kernel: image-textured LIGHTS
+                # defer their emission add; image-textured ALBEDOS scatter
+                # with unit albedo and defer the multiply. Both resolve in
+                # XLA between segments (pallas_wavefront.py). RR below then
+                # sees the running product WITHOUT pending texel factors —
+                # a different (but consistent: the same p divides) survival
+                # probability, so the estimator stays unbiased.
+                is_img = tk == 2.0  # TEX_IMAGE
+                pend_alb = (alive > 0.0) & is_img & ~is_light
+                pend_emit = (alive > 0.0) & is_img & emit_gate
+                # the pending record carries the PRE-FLIP outward normal
+                # (sphere.rs:47-53; eligibility restricts image textures to
+                # spheres, so the winner's ow* is a sphere normal here) —
+                # the acos/atan2 of the UV mapping have no Mosaic lowering,
+                # so XLA derives (u, v) from it during the texel resolve
+                pend_nx, pend_ny, pend_nz = owx, owy, owz
+                pend_flag = jnp.where(pend_alb, img_w + 1.0,
+                                      jnp.where(pend_emit, -(img_w + 1.0),
+                                                0.0))
+                lf = alive * jnp.where(emit_gate & ~is_img, 1.0, 0.0)
+                car = jnp.where(is_img, 1.0, car)
+                cag = jnp.where(is_img, 1.0, cag)
+                cab = jnp.where(is_img, 1.0, cab)
+            else:
+                lf = alive * jnp.where(emit_gate, 1.0, 0.0)
             rx = rx + lf * ax * car
             ry = ry + lf * ay * cag
             rz = rz + lf * az * cab
@@ -1015,8 +1259,44 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             dx = jnp.where(live, ndx, dx)
             dy = jnp.where(live, ndy, dy)
             dz = jnp.where(live, ndz, dz)
-            return (b + 1, tm, ox, oy, oz, dx, dy, dz, ax, ay, az, rx, ry, rz,
-                    alive)
+            out_state = (b + 1, tm, ox, oy, oz, dx, dy, dz, ax, ay, az,
+                         rx, ry, rz, alive)
+            if has_image:
+                return out_state + (pend_nx, pend_ny, pend_nz,
+                                    pend_flag)
+            return out_state
+
+        if segment:
+            # ---- SEGMENT MODE: one bounce over carried ray state ----
+            # state rows: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad, 13 alive
+            b = seed_ref[1]
+            any_alive = jnp.max(st_ref[13]) > 0.0
+
+            @pl.when(any_alive)
+            def _run():
+                state = (b, st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                         st_ref[4], st_ref[5], st_ref[6], st_ref[7],
+                         st_ref[8], st_ref[9], st_ref[10], st_ref[11],
+                         st_ref[12], st_ref[13])
+                out = bounce_body(state)
+                for k in range(14):
+                    sto_ref[k] = out[k + 1]
+                if has_image:
+                    pend_ref[0] = out[15]
+                    pend_ref[1] = out[16]
+                    pend_ref[2] = out[17]
+                    pend_ref[3] = out[18]
+                else:
+                    pend_ref[:] = jnp.zeros((4,) + shape, _F32)
+
+            @pl.when(jnp.logical_not(any_alive))
+            def _skip():
+                # whole tile dead: pass the state through untouched (the
+                # radiance rows must survive to the final accumulation)
+                sto_ref[:] = st_ref[:]
+                pend_ref[:] = jnp.zeros((4,) + shape, _F32)
+
+            return
 
         def cond(state):
             b = state[0]
@@ -1082,55 +1362,73 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_quads", "n_clusters", "moving", "max_depth",
+    static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
+                     "max_depth",
                      "sky_bg", "spp", "width", "height", "defocus", "rows",
                      "tile_rows", "has_checker", "mis", "n_lights",
                      "stratified", "sqrt_spp", "n_media", "has_noise",
-                     "n_slabs", "interpret"),
+                     "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
+                     "has_image", "interpret"),
 )
-def _megakernel_raw(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab,
+def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
+                    batab, ltab, mtab, ptab, vtab, atab,
                     cam_u, seed, bg, *,
-                    n_quads: int, n_clusters: int, moving: bool,
+                    n_quads: int, n_clusters: int, n_sclusters: int,
+                    moving: bool,
                     max_depth: int, sky_bg: bool, spp: int, width: int,
                     height: int, defocus: bool, rows: int, tile_rows: int,
                     has_checker: bool, mis: bool, n_lights: int,
                     stratified: bool, sqrt_spp: int, n_media: int,
-                    has_noise: bool, n_slabs: int, interpret: bool):
+                    has_noise: bool, n_slabs: int, n_boxes: int,
+                    n_bclusters: int, b_slabs: int, has_image: bool,
+                    interpret: bool):
+    if has_image:
+        raise ValueError(
+            "image textures require the wavefront segment path "
+            "(ops/pallas_wavefront.py), not the monolithic megakernel")
     grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((rows, TILE_LANES), _F32)
     smem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.SMEM)
+    vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
                      stratified=stratified, sqrt_spp=sqrt_spp,
                      n_media=n_media, has_noise=has_noise,
-                     n_slabs=n_slabs),
+                     n_slabs=n_slabs, n_boxes=n_boxes,
+                     n_bclusters=n_bclusters, b_slabs=b_slabs,
+                     n_sclusters=n_sclusters),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
-            smem(tab.shape[0], J_COLS),
+            smem(*tab.shape),
             smem(qtab.shape[0], Q_COLS),
             smem(clb.shape[0], 8),
             smem(cls.shape[0]),
+            smem(sclb.shape[0], 8),
+            smem(scls.shape[0]),
+            smem(btab.shape[0], B_COLS),
+            smem(bclb.shape[0], 8),
+            smem(bcls.shape[0]),
+            vmem(batab.shape[0], TILE_LANES),
             smem(ltab.shape[0], L_COLS),
             smem(mtab.shape[0], M_COLS),
-            pl.BlockSpec((6, TILE_LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, TILE_LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((atab.shape[0], TILE_LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vmem(6, TILE_LANES),
+            vmem(6, TILE_LANES),
+            vmem(atab.shape[0], TILE_LANES),
             smem(20),
             smem(2),
             smem(4),
         ],
         out_specs=(ray_spec, ray_spec, ray_spec),
         interpret=interpret,
-    )(tab, qtab, clb, cls, ltab, mtab, ptab, vtab, atab, cam_u, seed, bg)
+    )(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab, ltab, mtab,
+      ptab, vtab, atab, cam_u, seed, bg)
 
 
 _slot_cache: dict = {}
@@ -1153,7 +1451,8 @@ def _unswizzle_index(width: int, height: int):
 def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                        spp: int, max_depth: int, tile_rows: int = TILE_ROWS,
                        mis: bool = False, stratified: bool = False,
-                       sqrt_spp: int = 0, interpret: bool | None = None):
+                       sqrt_spp: int = 0, interpret: bool | None = None,
+                       segment: bool = False):
     """Host-side half of a megakernel pass: SAH clustering + table packing.
 
     Returns ``(arrays, statics)`` — a dict of device arrays (replicable
@@ -1177,6 +1476,50 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     qtab = pack_quad_table(scene)
     n_quads = qtab.shape[0] if "quads" in scene.features else 0
 
+    import numpy as np
+
+    # -- axis-aligned box primitives: SAH-clustered slab table + winner-
+    #    attribute gather slabs (mirrors the sphere atab machinery)
+    if "boxes" in scene.features:
+        btab_np, border, bcls_np, bclb_np = pack_box_tables(scene)
+        n_boxes = btab_np.shape[0]
+        n_bclusters = bcls_np.shape[0] - 1
+        bmask = np.asarray(scene.box_mask) > 0
+        bmat = np.asarray(scene.box_mat)[bmask][border]
+        bkind = np.asarray(scene.mat_kind)[bmat].astype(np.float32)
+        bmtex = np.asarray(scene.mat_tex)[bmat]
+        balb = np.asarray(scene.tex_color1)[bmtex].astype(np.float32)
+        bfuzz = np.asarray(scene.mat_fuzz)[bmat].astype(np.float32)
+        bior = np.asarray(scene.mat_ior)[bmat].astype(np.float32)
+        battrs = [bkind, balb[:, 0], balb[:, 1], balb[:, 2], bfuzz, bior,
+                  btab_np[:, B_LOX], btab_np[:, B_LOY], btab_np[:, B_LOZ],
+                  btab_np[:, B_HIX], btab_np[:, B_HIY], btab_np[:, B_HIZ]]
+        if ("checker" in scene.features) or ("noise" in scene.features):
+            btk = np.asarray(scene.tex_kind)[bmtex]
+            bc2 = np.asarray(scene.tex_color2)[bmtex].astype(np.float32)
+            bivs = np.where(btk == 3,
+                            np.asarray(scene.tex_noise_scale)[bmtex],
+                            np.asarray(scene.tex_inv_scale)[bmtex])
+            battrs += [btk.astype(np.float32), bc2[:, 0], bc2[:, 1],
+                       bc2[:, 2], bivs.astype(np.float32)]
+        b_slabs = max(1, -(-n_boxes // TILE_LANES))
+        batab_np = np.zeros((len(battrs), b_slabs * TILE_LANES), np.float32)
+        for i, col in enumerate(battrs):
+            batab_np[i, :n_boxes] = col
+        batab = jnp.asarray(
+            batab_np.reshape(len(battrs) * b_slabs, TILE_LANES))
+        btab = jnp.asarray(btab_np)
+        bclb = jnp.asarray(bclb_np)
+        bcls = jnp.asarray(bcls_np, dtype=jnp.int32)
+    else:
+        n_boxes = 0
+        n_bclusters = 0
+        b_slabs = 1
+        btab = jnp.zeros((1, B_COLS), _F32)
+        bclb = jnp.zeros((1, 8), _F32)
+        bcls = jnp.zeros(2, jnp.int32)
+        batab = jnp.zeros((_BOX_ATTRS_BASE, TILE_LANES), _F32)
+
     # SAH cluster culling (native C++ builder with NumPy fallback) pays off
     # once the sphere loop dominates; swept bounds cover motion blur.
     n_spheres = tab.shape[0]
@@ -1194,8 +1537,34 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         order, cl_start, cl_min, cl_max = build_sphere_clusters(
             cmid, rswept, max_leaf=32)  # measured optimum on the 489-sphere
         # flagship: 8 -> 9.8, 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
-        tab = tab[jnp.asarray(order)]
         n_clusters = cl_start.shape[0] - 1
+
+        # 2-level hierarchy: once the flat cluster scan itself gets long
+        # (10k spheres -> ~320 clusters), SAH-cluster the CLUSTER AABBs and
+        # scan super-clusters first; clusters (and the sphere order beneath
+        # them) are permuted super-cluster-contiguous so the kernel descends
+        # with the same contiguous-range fori_loop at both levels.
+        n_sclusters = 0
+        sclb = jnp.zeros((1, 8), _F32)
+        scls = jnp.zeros(2, jnp.int32)
+        if n_clusters >= 48:
+            from ..native import build_aabb_clusters
+
+            sorder, s_start, s_min, s_max = build_aabb_clusters(
+                cl_min, cl_max, max_leaf=16)
+            order = np.concatenate(
+                [order[cl_start[c]:cl_start[c + 1]] for c in sorder])
+            sizes = (cl_start[1:] - cl_start[:-1])[sorder]
+            cl_start = np.concatenate(
+                [[0], np.cumsum(sizes)]).astype(np.int32)
+            cl_min, cl_max = cl_min[sorder], cl_max[sorder]
+            n_sclusters = s_start.shape[0] - 1
+            sclb = jnp.asarray(np.concatenate(
+                [s_min, s_max, np.zeros((n_sclusters, 2), np.float32)],
+                axis=1))
+            scls = jnp.asarray(s_start, dtype=jnp.int32)
+
+        tab = tab[jnp.asarray(order)]
         clb = jnp.asarray(
             np.concatenate(
                 [cl_min, cl_max, np.zeros((n_clusters, 2), np.float32)],
@@ -1203,20 +1572,27 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         cls = jnp.asarray(cl_start, dtype=jnp.int32)
     else:
         n_clusters = 0
+        n_sclusters = 0
         clb = jnp.zeros((1, 8), _F32)
         cls = jnp.zeros(2, jnp.int32)
+        sclb = jnp.zeros((1, 8), _F32)
+        scls = jnp.zeros(2, jnp.int32)
 
     # winner-attribute gather table: selected columns of the (cluster-
     # reordered) sphere table, laid out as [n_attrs * n_slabs, 128] so each
     # row is one lane-confined gather slab
     moving = "motion" in scene.features
-    has_tex = ("checker" in scene.features) or ("noise" in scene.features)
+    has_image = segment and ("image" in scene.features)
+    has_tex = (("checker" in scene.features) or ("noise" in scene.features)
+               or has_image)
     acols = [J_KIND, J_AR, J_AG, J_AB, J_FUZZ, J_IOR, J_CX, J_CY, J_CZ,
              J_INVR]
     if moving:
         acols += [J_VX, J_VY, J_VZ]
     if has_tex:
         acols += [J_TEXK, J_C2R, J_C2G, J_C2B, J_INVS]
+    if has_image:
+        acols += [J_IMG]
     n_sph = tab.shape[0]
     n_slabs = max(1, -(-n_sph // TILE_LANES))
     tab_pad = jnp.pad(tab, ((0, n_slabs * TILE_LANES - n_sph), (0, 0)))
@@ -1254,11 +1630,19 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
 
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
-    arrays = dict(tab=tab, qtab=qtab, clb=clb, cls=cls, ltab=ltab, mtab=mtab,
+    # device-side sphere table: geometry-only (see kernel body); the full
+    # 24-col table stays host-side to source the atab attribute slabs
+    gcols = [J_CX, J_CY, J_CZ, J_R2] + ([J_VX, J_VY, J_VZ] if moving else [])
+    gtab = tab[:, jnp.asarray(gcols)]
+    arrays = dict(tab=gtab, qtab=qtab, clb=clb, cls=cls, sclb=sclb,
+                  scls=scls, btab=btab,
+                  bclb=bclb, bcls=bcls, batab=batab, ltab=ltab, mtab=mtab,
                   ptab=ptab, vtab=vtab, atab=atab, cam_u=cam_u, bg=bg)
     statics = dict(
-        n_quads=n_quads, n_clusters=n_clusters, n_media=n_media,
-        has_noise=has_noise, n_slabs=n_slabs,
+        n_quads=n_quads, n_clusters=n_clusters, n_sclusters=n_sclusters,
+        n_media=n_media,
+        has_noise=has_noise, n_slabs=n_slabs, has_image=has_image,
+        n_boxes=n_boxes, n_bclusters=n_bclusters, b_slabs=b_slabs,
         moving=moving, max_depth=max_depth,
         sky_bg=cam.bg_mode == BG_SKY, spp=spp, width=width, height=height,
         defocus=cam.lens_radius_gt0, rows=rows, tile_rows=tile_rows,
@@ -1280,6 +1664,8 @@ def megakernel_pass_from_prepared(arrays: dict, statics: dict, key,
     ])
     rx, ry, rz = _megakernel_raw(
         arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
+        arrays["sclb"], arrays["scls"],
+        arrays["btab"], arrays["bclb"], arrays["bcls"], arrays["batab"],
         arrays["ltab"], arrays["mtab"], arrays["ptab"], arrays["vtab"],
         arrays["atab"], arrays["cam_u"], seed, arrays["bg"], **statics)
     img = jnp.stack([rx.reshape(-1), ry.reshape(-1), rz.reshape(-1)], axis=-1)

@@ -1,0 +1,327 @@
+"""Wavefront (segmented) Pallas path tracing: image textures on the fast path.
+
+The monolithic megakernel (pallas_megakernel.py) cannot fetch megapixel
+texels in-kernel — Mosaic dynamic gathers are confined to one 128-lane tile.
+This module runs the SAME kernel code one bounce at a time ("segment mode",
+``_make_kernel(segment=True)``), carrying the ray state (origin, direction,
+attenuation, radiance, time, alive) through HBM between segments, and lets
+XLA — where megapixel gathers are native — resolve the deferred texel records
+the kernel emits:
+
+* an image-textured albedo hit scatters with UNIT albedo in-kernel and emits
+  ``(normal, +(image_id+1))``; XLA derives the sphere UV from the outward
+  normal (acos/atan2 have no Mosaic lowering), gathers the texel, and
+  multiplies it into the attenuation,
+* an image-textured light emits ``(normal, -(image_id+1))`` instead of adding
+  its radiance; XLA adds ``attenuation * texel``.
+
+Because albedo factors commute and each segment is exactly ONE bounce, every
+radiance contribution sees the correct attenuation prefix.  Russian roulette
+inside the kernel uses the running product WITHOUT pending texel factors —
+a different but consistent survival probability (the same p divides), so the
+estimator stays unbiased; only the variance differs marginally from the XLA
+path.  This replaces the reference's CPU texel lookup inside the hit loop
+(texture.rs:89-109, rtw_image.rs) with a TPU-shaped split: VPU-resident
+intersection/shading, XLA gather for texels.
+
+The bounce loop is a ``lax.while_loop`` over segments that exits as soon as
+every lane is dead, and per-tile ``pl.when`` guards skip all compute for
+fully-dead tiles — the wavefront analog of the megakernel's whole-tile early
+exit.  Like the megakernel, the on-core PRNG has no CPU lowering: TPU-only.
+
+ALIVE-RAY COMPACTION (``compact=True``): between segments, surviving rays
+are packed to the front of the slot array with an O(R) stable partition
+(cumsum ranks + one gather — far cheaper than a bitonic sort on TPU), so
+dead-majority tiles become ALL-dead tiles that the kernel's ``pl.when``
+early-exit skips outright.  A carried ``orig`` index unscrambles radiance at
+the end.  Ray draws stay fresh (the per-segment PRNG streams are keyed by
+(pass, bounce, tile) counters, never reused), so moving a ray between tiles
+just re-keys its stream — the estimator is unchanged in distribution.  This
+generalizes the wavefront backend beyond image textures: deep-depth scenes
+where the monolithic megakernel pays whole-tile residency for a few
+straggler lanes can run segmented + compacted instead (measured: see
+ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import Scene, TEX_IMAGE
+from .pallas_megakernel import (B_COLS, L_COLS, M_COLS, Q_COLS,
+                                TILE_LANES, TILE_ROWS, _BLK, _F32,
+                                _make_kernel, _unswizzle_index,
+                                prepare_megakernel)
+from .textures import image_texel
+
+_GOLDEN = -1640531527  # 0x9E3779B9 as i32 — the reference's per-pass seed
+#                         stride (src/gpu/mod.rs:454)
+
+
+def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
+    """Image-textured scenes where every image texture sits on a SPHERE
+    material (true for every reference scene: earth globe in book2_earth and
+    book2_final_scene).  Non-image scenes use the faster monolithic
+    megakernel; image-on-quad/box/media scenes fall back to XLA."""
+    import numpy as np
+
+    if integrator != "path":
+        return False
+    feats = set(scene.features)
+    if "image" not in feats:
+        return False
+    tex_kind = np.asarray(scene.tex_kind)
+    mat_tex = np.asarray(scene.mat_tex)
+    img_mats = set(np.nonzero(tex_kind[mat_tex] == TEX_IMAGE)[0].tolist())
+    for mats, mask in ((scene.quad_mat, scene.quad_mask),
+                       (scene.box_mat, scene.box_mask),
+                       (scene.msph_mat, scene.msph_mask),
+                       (scene.mbox_mat, scene.mbox_mask)):
+        used = set(np.asarray(mats)[np.asarray(mask) > 0].tolist())
+        if used & img_mats:
+            return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
+                     "max_depth",
+                     "sky_bg", "rows", "tile_rows", "has_checker", "n_media",
+                     "has_noise", "n_slabs", "n_boxes", "n_bclusters",
+                     "b_slabs", "has_image", "interpret"),
+)
+def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
+                       batab, ltab,
+                       mtab, ptab, vtab, atab, bg, st, seed, *,
+                       n_quads: int, n_clusters: int, n_sclusters: int,
+                       moving: bool,
+                       max_depth: int, sky_bg: bool, rows: int,
+                       tile_rows: int, has_checker: bool, n_media: int,
+                       has_noise: bool, n_slabs: int, n_boxes: int,
+                       n_bclusters: int, b_slabs: int, has_image: bool,
+                       interpret: bool):
+    """One bounce for every ray: st [14, rows, 128] -> (st', pending [4,...])."""
+    grid = (rows // tile_rows,)
+    st_spec = pl.BlockSpec((14, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    pend_spec = pl.BlockSpec((4, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    smem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.SMEM)
+    vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
+    outs = (jax.ShapeDtypeStruct((14, rows, TILE_LANES), _F32),
+            jax.ShapeDtypeStruct((4, rows, TILE_LANES), _F32))
+    kernel = _make_kernel(
+        tab.shape[0], n_quads, n_clusters, moving, max_depth, sky_bg,
+        spp=1, width=1, height=1, defocus=False, tile_rows=tile_rows,
+        has_checker=has_checker, mis=False, n_lights=0, stratified=False,
+        sqrt_spp=0, n_media=n_media, has_noise=has_noise, n_slabs=n_slabs,
+        n_boxes=n_boxes, n_bclusters=n_bclusters, b_slabs=b_slabs,
+        n_sclusters=n_sclusters, segment=True, has_image=has_image)
+    return pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid=grid,
+        in_specs=[
+            smem(*tab.shape),
+            smem(qtab.shape[0], Q_COLS),
+            smem(clb.shape[0], 8),
+            smem(cls.shape[0]),
+            smem(sclb.shape[0], 8),
+            smem(scls.shape[0]),
+            smem(btab.shape[0], B_COLS),
+            smem(bclb.shape[0], 8),
+            smem(bcls.shape[0]),
+            vmem(batab.shape[0], TILE_LANES),
+            smem(ltab.shape[0], L_COLS),
+            smem(mtab.shape[0], M_COLS),
+            vmem(6, TILE_LANES),
+            vmem(6, TILE_LANES),
+            vmem(atab.shape[0], TILE_LANES),
+            smem(2),
+            smem(4),
+            st_spec,
+        ],
+        out_specs=(st_spec, pend_spec),
+        interpret=interpret,
+    )(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab, ltab, mtab,
+      ptab, vtab, atab, seed, bg, st)
+
+
+def _slot_pixels(width: int, height: int, tile_rows: int):
+    """Per-slot pixel coordinates under the 32x32 screen-block swizzle —
+    identical to the megakernel's in-kernel mapping, so _unswizzle_index
+    inverts both."""
+    import numpy as np
+
+    tiles_x = -(-width // _BLK)
+    tiles_y = -(-height // _BLK)
+    n_slots = tiles_x * tiles_y * _BLK * _BLK
+    tile_r = tile_rows * TILE_LANES
+    rows = (-(-n_slots // tile_r)) * tile_rows
+    slot = np.arange(rows * TILE_LANES)
+    blk = slot // (_BLK * _BLK)
+    within = slot % (_BLK * _BLK)
+    pxi = (blk % tiles_x) * _BLK + within % _BLK
+    pyi = (blk // tiles_x) * _BLK + within // _BLK
+    px = np.minimum(pxi, width - 1).astype(np.float32)
+    py = np.minimum(pyi, height - 1).astype(np.float32)
+    return jnp.asarray(px), jnp.asarray(py), rows
+
+
+def _compact(st, orig, rows: int):
+    """Stable-partition the ray slots: alive first, dead last — O(R) cumsum
+    ranks + one scatter + one gather (no sort).  Packed dead tiles hit the
+    segment kernel's whole-tile ``pl.when`` skip.  ``orig`` carries each
+    slot's original index so radiance unscrambles at the end."""
+    R = rows * TILE_LANES
+    a = (st[13].reshape(R) > 0.0).astype(jnp.int32)
+    rank_alive = jnp.cumsum(a) - 1
+    rank_dead = jnp.cumsum(1 - a) - 1
+    n_alive = rank_alive[-1] + 1
+    pos = jnp.where(a > 0, rank_alive, n_alive + rank_dead)  # dest slot
+    src = jnp.zeros(R, jnp.int32).at[pos].set(
+        jnp.arange(R, dtype=jnp.int32))
+    st = st.reshape(14, R)[:, src].reshape(14, rows, TILE_LANES)
+    return st, orig[src]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "rows", "tile_rows", "stratified",
+                     "sqrt_spp", "statics", "compact"),
+)
+def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
+                    sample_offset, *, spp: int, max_depth: int, rows: int,
+                    tile_rows: int, stratified: bool, sqrt_spp: int,
+                    statics: tuple, compact: bool):
+    from ..camera import generate_rays
+
+    stat = dict(statics)
+    R = rows * TILE_LANES
+    has_image = stat["has_image"]
+    seg_args = (arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
+                arrays["sclb"], arrays["scls"],
+                arrays["btab"], arrays["bclb"], arrays["bcls"],
+                arrays["batab"], arrays["ltab"], arrays["mtab"],
+                arrays["ptab"], arrays["vtab"], arrays["atab"], arrays["bg"])
+
+    def one_sample(s, accum):
+        s_idx = s + sample_offset
+        key_s = jax.random.fold_in(key, s_idx)
+        k_cam, k_path = jax.random.split(key_s)
+        cam_draws = jax.random.uniform(k_cam, (R, 5), dtype=_F32)
+        if stratified:
+            s_w = s_idx % (sqrt_spp * sqrt_spp)
+            strat = ((s_w % sqrt_spp).astype(_F32),
+                     (s_w // sqrt_spp).astype(_F32), float(sqrt_spp))
+        else:
+            strat = None
+        o, d, time = generate_rays(cam, px, py, cam_draws, strat)
+
+        def rr(x):
+            return x.reshape(rows, TILE_LANES)
+
+        ones = jnp.ones((rows, TILE_LANES), _F32)
+        zeros = jnp.zeros((rows, TILE_LANES), _F32)
+        st = jnp.stack([
+            rr(time), rr(o[:, 0]), rr(o[:, 1]), rr(o[:, 2]),
+            rr(d[:, 0]), rr(d[:, 1]), rr(d[:, 2]),
+            ones, ones, ones, zeros, zeros, zeros, ones,
+        ])
+        seed_base = jax.random.key_data(k_path).astype(
+            jnp.int32).reshape(-1)[0]
+
+        orig0 = jnp.arange(R, dtype=jnp.int32)
+
+        def cond(c):
+            b, st, orig = c
+            return (b < max_depth) & (jnp.max(st[13]) > 0.0)
+
+        def body(c):
+            b, st, orig = c
+            seed = jnp.stack(
+                [jax.lax.bitwise_xor(seed_base, b * _GOLDEN), b]
+            ).astype(jnp.int32)
+            st2, pend = _wavefront_seg_raw(
+                *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
+                max_depth=max_depth, **{k: v for k, v in stat.items()
+                                        if k not in ("max_depth",)})
+            if has_image:
+                # resolve deferred texels: +flag multiplies the attenuation,
+                # -flag adds light emission (atten unchanged by the kernel
+                # for light lanes, so this is the attenuation AT the hit).
+                # Sphere UV from the pre-flip outward normal the kernel
+                # emitted (sphere.rs:47-53) — exact, in XLA where acos/atan2
+                # are native.
+                nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
+                pi_ = jnp.float32(jnp.pi)
+                th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
+                ph_ = jnp.arctan2(-nz_, nx_) + pi_
+                pu = ph_ * (0.5 / pi_)
+                pv = th_ * (1.0 / pi_)
+                img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
+                                  0, scene.images.shape[0] - 1)
+                texel = jnp.moveaxis(
+                    image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
+                mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
+                add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
+                       * st2[7:10])
+                st2 = st2.at[7:10].multiply(mul)
+                st2 = st2.at[10:13].add(add)
+            if compact:
+                # pack alive rays forward only once enough lanes have died
+                # to matter (the permute costs one HBM round trip; early
+                # bounces are nearly all-alive)
+                frac = jnp.mean(st2[13])
+                st2, orig = jax.lax.cond(
+                    frac < 0.875,
+                    lambda s, o: _compact(s, o, rows),
+                    lambda s, o: (s, o),
+                    st2, orig)
+            return b + 1, st2, orig
+
+        _, st_f, orig_f = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), st, orig0))
+        rad = st_f[10:13].reshape(3, R)  # [3,R] in compacted slot order
+        if compact:
+            rad = jnp.zeros_like(rad).at[:, orig_f].set(rad)
+        return accum + rad.T
+
+    return jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((R, 3), _F32))
+
+
+def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
+                          spp: int, max_depth: int, sample_offset=0,
+                          stratified: bool = False, sqrt_spp: int = 0,
+                          tile_rows: int = TILE_ROWS,
+                          compact: bool = True,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """Whole-image wavefront render pass; returns the radiance SUM [H, W, 3]
+    (the same contract as render.render_pass)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    arrays, statics = prepare_megakernel(
+        scene, cam, width=width, height=height, spp=1, max_depth=max_depth,
+        tile_rows=tile_rows, interpret=interpret, segment=True)
+    px, py, rows = _slot_pixels(width, height, tile_rows)
+    seg_keys = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
+                "has_checker",
+                "n_media", "has_noise", "n_slabs", "n_boxes", "n_bclusters",
+                "b_slabs", "has_image", "interpret")
+    seg_statics = tuple(sorted((k, statics[k]) for k in seg_keys))
+    key = jax.random.fold_in(key, 0x5EED)  # disjoint from megakernel streams
+    accum = _wavefront_pass(
+        scene, arrays, cam, key, px, py,
+        jnp.asarray(sample_offset, jnp.int32),
+        spp=spp, max_depth=max_depth, rows=rows, tile_rows=tile_rows,
+        stratified=stratified, sqrt_spp=sqrt_spp, statics=seg_statics,
+        compact=compact)
+    return accum[_unswizzle_index(width, height)].reshape(height, width, 3)

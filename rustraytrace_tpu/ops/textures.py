@@ -15,6 +15,23 @@ from ..scene import Scene, TEX_CHECKER, TEX_IMAGE, TEX_NOISE
 from . import perlin
 
 
+def image_texel(scene: Scene, img_id: jnp.ndarray, u: jnp.ndarray,
+                v: jnp.ndarray) -> jnp.ndarray:
+    """Clamped-UV nearest-texel lookup, v flipped (texture.rs:89-109).
+
+    img_id/u/v: any matching batch shape; returns [..., 3].  Shared by the
+    general texture evaluator and the wavefront kernel's deferred texel
+    resolve (ops/pallas_wavefront.py)."""
+    hw = scene.image_hw[img_id]  # [...,2]
+    h = hw[..., 0].astype(u.dtype)
+    w = hw[..., 1].astype(u.dtype)
+    uc = jnp.clip(u, 0.0, 1.0)
+    vc = 1.0 - jnp.clip(v, 0.0, 1.0)
+    i = jnp.minimum((uc * w).astype(jnp.int32), hw[..., 1] - 1)
+    j = jnp.minimum((vc * h).astype(jnp.int32), hw[..., 0] - 1)
+    return scene.images[img_id, j, i]
+
+
 def texture_value(tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                   p: jnp.ndarray, scene: Scene) -> jnp.ndarray:
     """Evaluate textures for rays: tex_id [R] i32, u,v [R], p [R,3] -> [R,3]."""
@@ -32,16 +49,7 @@ def texture_value(tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         value = jnp.where((kind == TEX_CHECKER)[:, None], checker, value)
 
     if "image" in scene.features:
-        # clamped-UV nearest-texel lookup, v flipped (texture.rs:89-109)
-        img_id = scene.tex_image[tex_id]
-        hw = scene.image_hw[img_id]  # [R,2]
-        h = hw[:, 0].astype(p.dtype)
-        w = hw[:, 1].astype(p.dtype)
-        uc = jnp.clip(u, 0.0, 1.0)
-        vc = 1.0 - jnp.clip(v, 0.0, 1.0)
-        i = jnp.minimum((uc * w).astype(jnp.int32), hw[:, 1] - 1)
-        j = jnp.minimum((vc * h).astype(jnp.int32), hw[:, 0] - 1)
-        texel = scene.images[img_id, j, i]  # [R,3]
+        texel = image_texel(scene, scene.tex_image[tex_id], u, v)
         value = jnp.where((kind == TEX_IMAGE)[:, None], texel, value)
 
     if "noise" in scene.features:

@@ -1,0 +1,176 @@
+"""Warped-area reparameterization: silhouette (visibility) gradients.
+
+Interior autodiff differentiates radiance through hit points, normals, and
+attenuations, but the MOVEMENT of sphere silhouettes under parameter change
+(the boundary term of the pixel integral) has zero interior gradient — a
+sphere's center/radius cannot be recovered from coverage by plain AD.  This
+module implements the warped-area / reparameterized-sampling estimator
+(Loubet et al. 2019, Bangaru et al. 2020) specialized to sphere silhouettes:
+
+The sub-pixel jitter u is replaced by a warp  T(u, θ) = u + W(u, θ)  with
+
+    W = - Σ_i  k(φ̂ᵈ_i) · (φ̂_i(θ) - φ̂_i(θᵈ)) · n̂ᵈ_i ,
+
+where φ_i(u, θ) = h² - a·c is sphere i's ray-quadric DISCRIMINANT (whose
+zero set in u-space IS the silhouette), φ̂ = φ/|∇_u φ| its unit-normalized
+form, n̂ = ∇_u φ/|∇_u φ| the u-space silhouette normal, k a smooth bump that
+is exactly 1 on the silhouette, and superscript ᵈ marks evaluation with
+stop_gradient'ed SCENE ARRAYS (u stays attached — the divergence of the warp
+field needs full u-dependence).  Properties:
+
+* value:  W ≡ 0, det(∂T/∂u) ≡ 1 — the forward render is BIT-IDENTICAL;
+* derivative: at a silhouette, ∂θT equals the boundary's u-velocity
+  (implicit-function theorem on φ=0), so the discontinuity of the integrand
+  f(T(u)) is stationary in u and the exact change of variables
+  ∫ f(T)|det ∂T/∂u| du = ∫ f du differentiates to the full gradient,
+  boundary term included.  Warps at "phantom" boundaries (occluded or
+  back-facing silhouettes, where f is continuous) are harmless: the change
+  of variables is exact for any smooth warp.
+
+Scope: PRIMARY rays, sphere silhouettes (the parameters BASELINE config 4
+asks to recover).  Secondary-bounce visibility gradients remain interior-only.
+The reference has no gradients of any kind (it is a forward renderer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..scene import Scene
+
+_SIGMA = 0.5  # bump width in sub-pixel (jitter) units
+
+
+def _disc_terms(u, base, du, dv, o, time, C, V, r):
+    """Discriminant and its analytic u-gradient for every (ray, sphere).
+
+    u: [R,2] jitter; base/du/dv: ray-direction affine frame ([R,3]/[3]/[3]);
+    o: [R,3] origins; time: [R]; C/V/r: sphere arrays.
+    Returns (disc [R,N], gx [R,N], gy [R,N]).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    d = base + u[:, 0:1] * du[None, :] + u[:, 1:2] * dv[None, :]  # [R,3]
+    tcol = time[:, None]
+
+    d_C = jnp.dot(d, C.T, precision=hi)  # [R,N]
+    d_V = jnp.dot(d, V.T, precision=hi)
+    o_C = jnp.dot(o, C.T, precision=hi)
+    o_V = jnp.dot(o, V.T, precision=hi)
+    C2 = jnp.sum(C * C, axis=-1)
+    CV = jnp.sum(C * V, axis=-1)
+    V2 = jnp.sum(V * V, axis=-1)
+    o2 = jnp.sum(o * o, axis=-1)
+    d_o = jnp.sum(d * o, axis=-1)
+    a = jnp.sum(d * d, axis=-1)
+
+    h = d_C + tcol * d_V - d_o[:, None]  # [R,N]
+    cc2 = C2[None, :] + 2.0 * tcol * CV[None, :] + (tcol * tcol) * V2[None, :]
+    c0 = cc2 - 2.0 * (o_C + tcol * o_V) + o2[:, None] - (r * r)[None, :]
+    disc = h * h - a[:, None] * c0
+
+    # analytic u-gradients: ∂d/∂u_x = du, ∂h/∂u_x = du·cc - du·o,
+    # ∂a/∂u_x = 2 d·du, c0 independent of u.
+    du_C = jnp.dot(du, C.T)  # [N]
+    du_V = jnp.dot(du, V.T)
+    dv_C = jnp.dot(dv, C.T)
+    dv_V = jnp.dot(dv, V.T)
+    du_o = jnp.dot(o, du)  # [R]
+    dv_o = jnp.dot(o, dv)
+    h_x = du_C[None, :] + tcol * du_V[None, :] - du_o[:, None]
+    h_y = dv_C[None, :] + tcol * dv_V[None, :] - dv_o[:, None]
+    a_x = 2.0 * jnp.dot(d, du)  # [R]
+    a_y = 2.0 * jnp.dot(d, dv)
+    gx = 2.0 * h * h_x - a_x[:, None] * c0
+    gy = 2.0 * h * h_y - a_y[:, None] * c0
+    return disc, gx, gy
+
+
+def _warp_field(u, base, du, dv, o, time, scene: Scene, scene_d: Scene):
+    """W(u) [R,2]: zero-valued warp carrying the silhouette θ-derivative."""
+    # attached-θ and detached-θ normalized discriminants; the DETACHED pass
+    # defines the geometry of the warp field (normals, bump weights) while
+    # staying fully differentiable in u
+    disc_a, _, _ = _disc_terms(u, base, du, dv, o, time,
+                               scene.sph_center, scene.sph_cvel,
+                               scene.sph_radius)
+    disc_det, gx, gy = _disc_terms(u, base, du, dv, o, time,
+                                   scene_d.sph_center, scene_d.sph_cvel,
+                                   scene_d.sph_radius)
+    # +1e-30 keeps sqrt differentiable when the u-gradient vanishes exactly
+    # (e.g. the zero-radius PADDING sphere with the camera at the origin:
+    # disc == gx == gy == 0 there, and sqrt'(0)=inf would poison every
+    # gradient through 0*NaN even though the mask zeroes the term's value)
+    gnorm = jnp.sqrt(gx * gx + gy * gy + 1e-30)
+    # normalize by the silhouette scale; soft floor keeps T smooth where the
+    # u-gradient degenerates (ray through sphere center / grazing setups)
+    scale = jnp.maximum(gnorm, 1e-3 * (jnp.abs(disc_det) + 1e-12))
+    phi_a = disc_a / scale
+    phi_d = disc_det / scale
+    delta = phi_a - phi_d  # == 0 in value; ∂θ delta = ∂θ φ̂
+    k = jnp.exp(-(phi_d / _SIGMA) ** 2) * scene.sph_mask[None, :]
+    nx = gx / scale
+    ny = gy / scale
+    wx = -jnp.sum(k * delta * nx, axis=-1)  # [R]
+    wy = -jnp.sum(k * delta * ny, axis=-1)
+    return jnp.stack([wx, wy], axis=-1)
+
+
+def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None):
+    """Drop-in replacement for camera.generate_rays with the silhouette
+    warp applied to the sub-pixel jitter.
+
+    Returns (origin [R,3], direction [R,3], time [R], weight [R]) where
+    weight = det(∂T/∂u) (≡ 1 in value) multiplies the sample's radiance.
+    Forward renders are bit-identical to the unwarped path (same draw
+    layout as camera.generate_rays)."""
+    from .rng import in_unit_disk
+
+    dt = draws.dtype
+    if strat is None:
+        ox = draws[:, 0] - 0.5
+        oy = draws[:, 1] - 0.5
+    else:
+        s_i, s_j, sqrt_spp = strat
+        recip = 1.0 / sqrt_spp
+        ox = (s_i + draws[:, 0]) * recip - 0.5
+        oy = (s_j + draws[:, 1]) * recip - 0.5
+    u = jnp.stack([ox, oy], axis=-1)  # [R,2]
+
+    if cam.lens_radius_gt0:
+        disk = in_unit_disk(draws[:, 2], draws[:, 3])
+        origin = (cam.center[None, :]
+                  + disk[:, 0:1] * cam.defocus_disk_u[None, :]
+                  + disk[:, 1:2] * cam.defocus_disk_v[None, :])
+    else:
+        origin = jnp.broadcast_to(cam.center[None, :],
+                                  (px.shape[0], 3)).astype(dt)
+    time = draws[:, 4]
+    base = (cam.pixel00[None, :]
+            + px[:, None] * cam.pixel_delta_u[None, :]
+            + py[:, None] * cam.pixel_delta_v[None, :]
+            - origin)
+
+    sg = jax.lax.stop_gradient
+    import dataclasses
+
+    scene_d = dataclasses.replace(
+        scene, sph_center=sg(scene.sph_center), sph_cvel=sg(scene.sph_cvel),
+        sph_radius=sg(scene.sph_radius))
+
+    def W(uu):
+        return _warp_field(uu, base, cam.pixel_delta_u, cam.pixel_delta_v,
+                           sg(origin), sg(time), scene, scene_d)
+
+    e1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0], dt), u.shape)
+    e2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], dt), u.shape)
+    w_val, j1 = jax.jvp(W, (u,), (e1,))  # ∂W/∂u_x [R,2]
+    _, j2 = jax.jvp(W, (u,), (e2,))
+    det = ((1.0 + j1[:, 0]) * (1.0 + j2[:, 1]) - j1[:, 1] * j2[:, 0])
+
+    u_w = u + w_val  # value-identical; derivative tracks the silhouette
+    pixel_sample = (cam.pixel00[None, :]
+                    + (px + u_w[:, 0])[:, None] * cam.pixel_delta_u[None, :]
+                    + (py + u_w[:, 1])[:, None] * cam.pixel_delta_v[None, :])
+    direction = pixel_sample - origin
+    return origin, direction, time, det

@@ -106,11 +106,14 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
                                     mesh: Mesh, integrator: str = "path",
                                     progress=None,
                                     accum_state: Optional[dict] = None,
-                                    on_pass=None):
-    """Full sharded megakernel render: host pass loop + psum'd accumulation.
+                                    on_pass=None,
+                                    backend: str = "megakernel"):
+    """Full sharded Pallas render: host pass loop + psum'd accumulation.
 
     Same contract as ``parallel.render.render_image_sharded`` (which routes
-    here for eligible scenes on TPU meshes).
+    here for eligible scenes on TPU meshes).  ``backend`` picks the per-pass
+    kernel: "megakernel" (monolithic) or "wavefront" (segmented, image
+    textures).
     """
     import numpy as np
 
@@ -134,10 +137,18 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
 
     while done < spp_total:
         this = min(per_pass, spp_traced_mesh(spp_total - done, mesh))
-        accum = accum + render_pass_megakernel_sharded(
-            scene, cam, key, width=w, height=h, spp=this,
-            max_depth=cfg.max_depth, mesh=mesh, mis=integrator == "mis",
-            stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done)
+        if backend == "wavefront":
+            acc_pass = render_pass_wavefront_sharded(
+                scene, cam, key, width=w, height=h, spp=this,
+                max_depth=cfg.max_depth, mesh=mesh,
+                stratified=stratified, sqrt_spp=sqrt_spp,
+                sample_offset=done)
+        else:
+            acc_pass = render_pass_megakernel_sharded(
+                scene, cam, key, width=w, height=h, spp=this,
+                max_depth=cfg.max_depth, mesh=mesh, mis=integrator == "mis",
+                stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done)
+        accum = accum + acc_pass
         done += spp_traced_mesh(this, mesh)
         if progress is not None:
             progress(done, spp_total)
@@ -147,3 +158,62 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
     accum_np = np.asarray(accum)
     return finalize_image(accum_np, done), {"accum": accum_np,
                                             "spp_done": done}
+
+
+def wavefront_shard_eligible(scene: Scene, integrator: str,
+                             mesh: Mesh) -> bool:
+    """Sharded-wavefront routing: TPU-only mesh + wavefront-eligible scene
+    (image textures on sphere materials — book2_earth / book2_final)."""
+    from ..ops.pallas_wavefront import wavefront_eligible
+
+    devs = mesh.devices.reshape(-1)
+    if not all(d.platform == "tpu" for d in devs):
+        return False
+    return wavefront_eligible(scene, integrator)
+
+
+def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
+                                  height: int, spp: int, max_depth: int,
+                                  mesh: Mesh, stratified: bool = False,
+                                  sqrt_spp: int = 0, sample_offset: int = 0,
+                                  compact: bool = True) -> jnp.ndarray:
+    """spp-sharded WAVEFRONT pass (image-textured scenes): host table prep
+    once, per-device segmented bounce loops at device-distinct sample
+    offsets, psum'd radiance sum [H, W, 3] (replicated).
+
+    Per-sample RNG streams are keyed by the ABSOLUTE sample index (the same
+    fold-in the single-chip path uses), so an N-chip render draws the exact
+    samples a 1-chip render would — the shard layout only changes who traces
+    them.
+    """
+    from ..ops.pallas_megakernel import (TILE_ROWS, _unswizzle_index,
+                                         prepare_megakernel)
+    from ..ops.pallas_wavefront import _slot_pixels, _wavefront_pass
+
+    n = int(mesh.devices.size)
+    spp_local = -(-spp // n)
+    tile_rows = TILE_ROWS
+    arrays, statics = prepare_megakernel(
+        scene, cfg_cam, width=width, height=height, spp=1,
+        max_depth=max_depth, tile_rows=tile_rows, interpret=False,
+        segment=True)
+    px, py, rows = _slot_pixels(width, height, tile_rows)
+    seg_keys = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
+                "has_checker", "n_media", "has_noise", "n_slabs", "n_boxes",
+                "n_bclusters", "b_slabs", "has_image", "interpret")
+    seg_statics = tuple(sorted((k, statics[k]) for k in seg_keys))
+    key = jax.random.fold_in(key, 0x5EED)  # match render_pass_wavefront
+    offsets = sample_offset + jnp.arange(n, dtype=jnp.int32) * spp_local
+    unswz = _unswizzle_index(width, height)
+
+    def pass_fn(args, key, off):
+        scene_, arrays_, px_, py_ = args
+        acc = _wavefront_pass(
+            scene_, arrays_, cfg_cam, key, px_, py_, off,
+            spp=spp_local, max_depth=max_depth, rows=rows,
+            tile_rows=tile_rows, stratified=stratified, sqrt_spp=sqrt_spp,
+            statics=seg_statics, compact=compact)
+        return acc[unswz].reshape(height, width, 3)
+
+    return sharded_megakernel_wiring(
+        pass_fn, (scene, arrays, px, py), key, offsets, mesh)

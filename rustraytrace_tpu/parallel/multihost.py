@@ -57,6 +57,26 @@ def global_mesh(spp_shards: Optional[int] = None):
     return make_mesh(jax.devices(), spp_shards=spp_shards)
 
 
+def make_assemble(mesh) -> "callable":
+    """Build the cross-host framebuffer assembler for ``mesh``.
+
+    A px-sharded global array is not fully addressable on any one host, so
+    ``np.asarray`` alone fails multi-process.  The assembler reshards to a
+    fully-REPLICATED layout (an all-gather over ICI/DCN placed by XLA) and
+    only then copies to host — every host gets the identical framebuffer.
+    Single-process it degenerates to a plain device->host copy."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def assemble(accum) -> np.ndarray:
+        if jax.process_count() > 1:
+            replicate = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(mesh, P()))
+            accum = replicate(accum)
+        return np.asarray(accum)
+
+    return assemble
+
+
 def render_image_multihost(scene, cfg, *, mesh=None, integrator: str = "path",
                            chunk: int = 65536, progress=None,
                            accum_state=None):
@@ -65,16 +85,8 @@ def render_image_multihost(scene, cfg, *, mesh=None, integrator: str = "path",
     Returns (image_u8, accum_state) on every host (identical content)."""
     if mesh is None:
         mesh = global_mesh()
-    img, state = render_image_sharded(
+    return render_image_sharded(
         scene, cfg, mesh=mesh, integrator=integrator, chunk=chunk,
         progress=progress, accum_state=accum_state,
+        assemble=make_assemble(mesh),
     )
-    if jax.process_count() > 1:  # pragma: no cover - needs a real pod
-        from jax.experimental import multihost_utils
-
-        acc = multihost_utils.process_allgather(state["accum"], tiled=False)
-        # every host holds the full psum'd framebuffer already (the gather
-        # is a consistency barrier); keep host-0's view
-        state = {"accum": np.asarray(acc)[0] if acc.ndim == 4 else
-                 np.asarray(state["accum"]), "spp_done": state["spp_done"]}
-    return img, state

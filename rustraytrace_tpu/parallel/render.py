@@ -44,7 +44,7 @@ def _ceil_to(x: int, m: int) -> int:
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "integrator",
                      "chunk", "stratified", "sqrt_spp", "mesh", "remat",
-                     "backend"),
+                     "backend", "warp_primary"),
 )
 def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         width: int, height: int, spp: int, max_depth: int,
@@ -53,7 +53,8 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         sqrt_spp: int = 0,
                         sample_offset: jnp.ndarray | int = 0,
                         remat: bool = True,
-                        backend: str = "xla") -> jnp.ndarray:
+                        backend: str = "xla",
+                        warp_primary: bool = False) -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across the mesh.
 
     Returns the radiance SUM [H, W, 3] (replicated over 'spp', sharded over
@@ -94,6 +95,7 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                     scene, cam, kc, s_idx, px, py, max_depth=max_depth,
                     integrator=integrator, stratified=stratified,
                     sqrt_spp=sqrt_spp, backend=backend,
+                    warp_primary=warp_primary,
                 )
                 return None, rad
 
@@ -133,32 +135,43 @@ def spp_traced(spp: int, mesh: Mesh) -> int:
 def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
                          integrator: str = "path", chunk: int = 65536,
                          progress=None, accum_state: Optional[dict] = None,
-                         backend: str = "auto", on_pass=None):
+                         backend: str = "auto", on_pass=None,
+                         assemble=None):
     """Full sharded render: host pass loop, psum'd accumulation, finalize.
 
     The sharded analog of ``render.render_image``; returns
     (image_u8 [H,W,3], accum_state).  ``on_pass(state)`` fires at every pass
     boundary with a resumable {accum, spp_done} dict (checkpointing — a
     killed sharded run otherwise loses all progress).
+
+    ``assemble(device_accum) -> np.ndarray`` materializes the final
+    framebuffer; the default (plain ``np.asarray``) is correct single-host.
+    Multi-host jobs must pass a cross-host gather (multihost.py does), since
+    a px-sharded global array is not fully addressable on any one host.
     """
     import numpy as np
 
-    from .megakernel import megakernel_shard_eligible
+    from .megakernel import (megakernel_shard_eligible,
+                             wavefront_shard_eligible)
 
     if backend == "auto":
-        backend = ("megakernel"
-                   if megakernel_shard_eligible(scene, integrator, mesh)
-                   else "xla")
-    if backend not in ("xla", "megakernel"):
+        if megakernel_shard_eligible(scene, integrator, mesh):
+            backend = "megakernel"
+        elif wavefront_shard_eligible(scene, integrator, mesh):
+            backend = "wavefront"
+        else:
+            backend = "xla"
+    if backend not in ("xla", "megakernel", "wavefront"):
         raise ValueError(
             f"sharded rendering supports backends 'auto', 'xla', "
-            f"'megakernel'; got {backend!r}")
-    if backend == "megakernel":
+            f"'megakernel', 'wavefront'; got {backend!r}")
+    if backend in ("megakernel", "wavefront"):
         from .megakernel import render_image_sharded_megakernel
 
         return render_image_sharded_megakernel(
             scene, cfg, mesh=mesh, integrator=integrator,
-            progress=progress, accum_state=accum_state, on_pass=on_pass)
+            progress=progress, accum_state=accum_state, on_pass=on_pass,
+            backend=backend)
 
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
@@ -192,5 +205,5 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
         if on_pass is not None:
             on_pass({"accum": accum, "spp_done": done})
 
-    accum_np = np.asarray(accum)
+    accum_np = np.asarray(accum) if assemble is None else assemble(accum)
     return finalize_image(accum_np, done), {"accum": accum_np, "spp_done": done}

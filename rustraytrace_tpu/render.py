@@ -36,7 +36,7 @@ def _ceil_to(x: int, m: int) -> int:
 def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
                s_idx, px, py, *, max_depth: int, integrator: str = "path",
                stratified: bool = False, sqrt_spp: int = 0,
-               backend: str = "xla") -> jnp.ndarray:
+               backend: str = "xla", warp_primary: bool = False) -> jnp.ndarray:
     """Trace ONE sample for a chunk of pixels; the shared inner unit of both
     the single-chip pass loop and the sharded (shard_map) pass.
 
@@ -44,6 +44,10 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     pixels/samples are sharded, so N-chip renders reproduce 1-chip renders.
     s_idx: absolute sample index (drives book-3 stratification).
     px, py: [chunk] pixel coordinates (float).
+    warp_primary: apply the warped-area silhouette reparameterization to the
+    primary-ray jitter (ops/warp.py) — forward values are bit-identical, but
+    reverse-mode gradients gain the sphere-visibility boundary term.  The
+    differentiable path (diff.render_mean) enables it.
     Returns the radiance [chunk, 3] of this sample.
     """
     dt = jnp.float32
@@ -63,6 +67,13 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
         strat = (s_i, s_j, float(sqrt_spp))
     else:
         strat = None
+    if warp_primary:
+        from .ops.warp import warped_primary_rays
+
+        o, d, time, w_det = warped_primary_rays(
+            scene, cam, px, py, cam_draws, strat)
+        rad = trace(k_path, o, d, time, scene, cam.background, opts)
+        return rad * w_det[:, None]
     o, d, time = generate_rays(cam, px, py, cam_draws, strat)
     return trace(k_path, o, d, time, scene, cam.background, opts)
 
@@ -91,6 +102,14 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
             max_depth=max_depth, sample_offset=sample_offset,
             mis=integrator == "mis", stratified=stratified,
             sqrt_spp=sqrt_spp,
+        )
+    if backend == "wavefront":
+        from .ops.pallas_wavefront import render_pass_wavefront
+
+        return render_pass_wavefront(
+            scene, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, sample_offset=sample_offset,
+            stratified=stratified, sqrt_spp=sqrt_spp,
         )
     return _render_pass_xla(
         scene, cam, key, width=width, height=height, spp=spp,
@@ -167,6 +186,7 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
         return backend
     from .ops.pallas_hit import sphere_kernel_eligible
     from .ops.pallas_megakernel import megakernel_eligible, megakernel_mis_eligible
+    from .ops.pallas_wavefront import wavefront_eligible
 
     on_tpu = jax.default_backend() == "tpu"
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
@@ -175,6 +195,10 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
         return "megakernel"
     if integrator == "mis" and on_tpu and megakernel_mis_eligible(scene):
         return "megakernel"
+    # image-textured scenes: the segmented wavefront kernel with XLA texel
+    # resolve between bounces (book2_earth, book2_final_scene)
+    if integrator == "path" and on_tpu and wavefront_eligible(scene):
+        return "wavefront"
     if integrator == "path" and sphere_kernel_eligible(scene):
         return "sphere_kernel"
     return "xla"

@@ -81,6 +81,18 @@ class Scene:
     quad_mat: jnp.ndarray  # [Q] i32
     quad_mask: jnp.ndarray  # [Q] f32
 
+    # -- axis-aligned boxes as FIRST-CLASS primitives.  The reference's
+    #    make_box expands every box into 6 quads (quad.rs:90-113); keeping
+    #    unrotated boxes whole makes the hit test one slab test instead of
+    #    six plane+interior tests — 400 slab tests replace the 2400 quad
+    #    tests of book2_final_scene's ground (the_next_week/mod.rs:510-528).
+    #    Rotated or image-textured boxes still bake to quads (boxes carry no
+    #    UVs; checker/noise texture on 3-D p, so those are exact).
+    box_lo: jnp.ndarray  # [B2,3]
+    box_hi: jnp.ndarray  # [B2,3]
+    box_mat: jnp.ndarray  # [B2] i32
+    box_mask: jnp.ndarray  # [B2] f32
+
     # -- constant-medium spheres (boundary sphere + isotropic phase)
     msph_center: jnp.ndarray  # [K,3]
     msph_radius: jnp.ndarray  # [K]
@@ -178,6 +190,7 @@ class SceneBuilder:
     def __init__(self):
         self._spheres: List[Tuple[np.ndarray, np.ndarray, float, int]] = []
         self._quads: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+        self._boxes: List[Tuple[np.ndarray, np.ndarray, int]] = []
         self._msph: List[Tuple[np.ndarray, float, float, int]] = []
         self._mbox: List[Tuple[float, float, np.ndarray, np.ndarray, np.ndarray, float, int]] = []
         self._mat: List[Tuple[int, int, float, float]] = []
@@ -244,9 +257,23 @@ class SceneBuilder:
              np.asarray(v, np.float64), int(mat))
         )
 
-    def add_box(self, a, b, mat: int, rotate_y_deg: float = 0.0, translate=(0, 0, 0)):
-        """Axis-aligned box -> 6 quads (quad.rs:112-134 make_box), with the
-        reference's RotateY-then-Translate instancing baked into each quad."""
+    def add_box(self, a, b, mat: int, rotate_y_deg: float = 0.0,
+                translate=(0, 0, 0), as_quads: bool = False):
+        """Box per the reference's make_box (quad.rs:90-113) with RotateY /
+        Translate instancing baked in.
+
+        Unrotated boxes whose material isn't image-textured stay whole as a
+        box PRIMITIVE (one slab test; boxes carry no UVs, and checker/noise
+        evaluate on the 3-D hit point so the semantics are identical to the
+        six-quad expansion).  Rotated or image-textured boxes bake to 6 quads.
+        ``as_quads=True`` forces the quad expansion (equivalence testing)."""
+        needs_uv = self._tex[self._mat[mat][1]][0] == TEX_IMAGE
+        if rotate_y_deg == 0.0 and not needs_uv and not as_quads:
+            lo = np.minimum(np.asarray(a, np.float64), np.asarray(b, np.float64))
+            hi = np.maximum(np.asarray(a, np.float64), np.asarray(b, np.float64))
+            off = np.asarray(translate, np.float64)
+            self._boxes.append((lo + off, hi + off, int(mat)))
+            return
         for q, u, v in _box_quads(a, b):
             q, u, v = _bake_instance(q, u, v, rotate_y_deg, translate)
             self.add_quad(q, u, v, mat)
@@ -311,6 +338,16 @@ class SceneBuilder:
             quad_u[len(self._quads):, 0] = 1.0
             quad_v[len(self._quads):, 1] = 1.0
             quad_q[len(self._quads):, 2] = 1e8
+
+        B2 = max(len(self._boxes), 1)
+        box_lo = stack(self._boxes, lambda s: s[0], 3)
+        box_hi = stack(self._boxes, lambda s: s[1], 3)
+        box_mat = stack(self._boxes, lambda s: s[2]).astype(np.int32)
+        box_mask = _pad_rows(np.ones(len(self._boxes)), B2)
+        # padding boxes: lo > hi never passes the slab test
+        if len(self._boxes) < B2:
+            box_lo[len(self._boxes):] = 1.0
+            box_hi[len(self._boxes):] = 0.0
 
         K = max(len(self._msph), 1)
         msph_center = stack(self._msph, lambda s: s[0], 3)
@@ -393,6 +430,8 @@ class SceneBuilder:
             features.append("media")
         if self._quads:
             features.append("quads")
+        if self._boxes:
+            features.append("boxes")
         if any(np.any(s[1] != 0.0) for s in self._spheres):
             features.append("motion")
 
@@ -403,6 +442,8 @@ class SceneBuilder:
             sph_mask=dev(sph_mask),
             quad_q=dev(quad_q), quad_u=dev(quad_u), quad_v=dev(quad_v),
             quad_mat=dev(quad_mat, jnp.int32), quad_mask=dev(quad_mask),
+            box_lo=dev(box_lo), box_hi=dev(box_hi),
+            box_mat=dev(box_mat, jnp.int32), box_mask=dev(box_mask),
             msph_center=dev(msph_center), msph_radius=dev(msph_radius),
             msph_neg_inv_density=dev(msph_nid),
             msph_mat=dev(msph_mat, jnp.int32), msph_mask=dev(msph_mask),

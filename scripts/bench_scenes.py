@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-scene throughput sweep on the real TPU — the measurement tool behind
+ROADMAP.md's backend coverage table and the round-N tuning notes.
+
+Usage:
+    python scripts/bench_scenes.py [case ...]
+
+Cases (default: all):
+    flagship         book1_random_spheres 1200x675 @64spp d50, auto backend
+    flagship_wf      same scene forced through the compacted wavefront path
+    flagship_wf_nc   wavefront without compaction (isolates the packing win)
+    final            book2_final_scene 800x800 @32spp d40 (reference flagship)
+    earth            book2_earth 800x450 @64spp d50
+    cornell_mis      book3_cornell_box 600x600 @64spp d50 (MIS megakernel)
+
+Each case prints one JSON line {case, backend, paths_per_s, elapsed_s, shape}.
+Timing: best of 2 after a warmup that absorbs the tunnel's first-execution
+stall; fenced with a device->host copy (jax.block_until_ready does not block
+on this rig — see CLAUDE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_case(name: str) -> dict:
+    import jax
+    import numpy as np
+
+    from rustraytrace_tpu import models
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.render import render_pass, resolve_backend
+
+    wf_kw = {}
+    if name.startswith("flagship"):
+        scene, cfg, _ = models.book1_random_spheres(
+            dict(image_width=1200, samples_per_pixel=64, max_depth=50))
+        integ, spp, depth = "path", 64, 50
+        backend = "auto"
+        if name == "flagship_wf":
+            backend = "wavefront"
+        elif name == "flagship_wf_nc":
+            backend, wf_kw = "wavefront", {"compact": False}
+    elif name == "final":
+        scene, cfg, _ = models.book2_final_scene(
+            dict(image_width=800, samples_per_pixel=32, max_depth=40))
+        integ, spp, depth, backend = "path", 32, 40, "auto"
+    elif name == "earth":
+        scene, cfg, _ = models.book2_earth(
+            dict(image_width=800, samples_per_pixel=64, max_depth=50))
+        integ, spp, depth, backend = "path", 64, 50, "auto"
+    elif name == "cornell_mis":
+        scene, cfg, _ = models.book3_cornell_box(
+            dict(image_width=600, samples_per_pixel=64, max_depth=50))
+        integ, spp, depth, backend = "mis", 64, 50, "auto"
+    else:
+        raise SystemExit(f"unknown case {name!r}")
+
+    cam = derive_camera(cfg)
+    w, h = cfg.image_width, cfg.image_height
+    if backend == "auto":
+        backend = resolve_backend(scene, integ)
+    key = jax.random.key(0)
+
+    if wf_kw:
+        from rustraytrace_tpu.ops.pallas_wavefront import render_pass_wavefront
+
+        def go():
+            return render_pass_wavefront(
+                scene, cam, key, width=w, height=h, spp=spp,
+                max_depth=depth, **wf_kw)
+    else:
+        def go():
+            return render_pass(
+                scene, cam, key, width=w, height=h, spp=spp,
+                max_depth=depth, integrator=integ, chunk=min(131072, w * h),
+                backend=backend)
+
+    for attempt in range(3):
+        try:
+            np.asarray(go())
+            break
+        except Exception as e:  # pragma: no cover
+            print(f"# warmup {name} attempt {attempt}: {e}", file=sys.stderr)
+            time.sleep(20)
+
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(go())
+        elapsed = min(elapsed, time.perf_counter() - t0)
+
+    pps = w * h * spp / elapsed
+    rec = {"case": name, "backend": backend,
+           "paths_per_s": round(pps, 1), "elapsed_s": round(elapsed, 3),
+           "shape": f"{w}x{h}@{spp}spp d{depth}"}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    cases = sys.argv[1:] or ["flagship", "flagship_wf", "flagship_wf_nc",
+                             "final", "earth", "cornell_mis"]
+    for c in cases:
+        run_case(c)
+
+
+if __name__ == "__main__":
+    main()

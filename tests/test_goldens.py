@@ -2,15 +2,11 @@
 
 Tiny XLA-path renders with a fixed key are fully deterministic (threefry
 streams + fixed summation order), so they pin the INTEGRATOR SEMANTICS: any
-unintended change to intersection, shading, RR, NEE/MIS, media sampling, or
-RNG layout shifts these images far beyond the tolerance.  Regenerate
-deliberately with tests/goldens/regen (documented below) when semantics
-change on purpose.
+unintended change to intersection, shading, textures, RR, NEE/MIS, media
+sampling, or RNG layout shifts these images far beyond the tolerance.
+Regenerate deliberately when semantics change on purpose:
 
-Regen:
-    python - <<'EOF'
-    # (run tests/test_goldens.py::_regen, or see git log for the snippet)
-    EOF
+    python scripts/regen_goldens.py
 """
 
 import os
@@ -25,11 +21,18 @@ from rustraytrace_tpu.render import render_pass
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+# name -> (scene builder attr, integrator, width, spp, depth)
 CASES = {
     "book1_trio": ("book1_three_spheres", "path", 24, 64, 6),
     "cornell_mis": ("book3_cornell_box", "mis", 24, 64, 6),
     "smoke": ("book2_cornell_smoke", "path", 24, 64, 6),
     "bouncing": ("book2_bouncing_spheres", "path", 24, 64, 6),
+    # round-2 additions: image-texture path (earth), Perlin marble, quads,
+    # and a tiny book2_final (boxes + media + noise + image + motion)
+    "earth": ("book2_earth", "path", 24, 64, 6),
+    "perlin": ("book2_perlin_spheres", "path", 24, 64, 6),
+    "quads": ("book2_quads", "path", 24, 64, 6),
+    "final_tiny": ("book2_final_scene", "path", 24, 16, 5),
 }
 
 

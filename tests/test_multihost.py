@@ -1,0 +1,81 @@
+"""Multi-process CPU execution of the multihost bring-up + sharded render.
+
+Round-1 review flagged ``parallel/multihost.py``'s cross-host assembly as
+unexecuted; this spawns TWO real processes (jax.distributed over a local
+coordinator, one CPU device each), renders the same tiny scene through
+``render_image_multihost``, and asserts both hosts assemble the identical
+framebuffer."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, coord, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+from rustraytrace_tpu.parallel import multihost
+multihost.initialize(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2  # one CPU device per process
+
+import numpy as np
+from rustraytrace_tpu import models
+
+scene, cfg, integ = models.book1_three_spheres(
+    dict(image_width=16, samples_per_pixel=2, max_depth=3, spp_per_pass=2))
+cfg = cfg.replace(aspect_ratio=2.0)  # 16x8
+img, state = multihost.render_image_multihost(
+    scene, cfg, integrator=integ, chunk=256)
+np.savez(os.path.join(outdir, f"out_{pid}.npz"),
+         img=img, accum=state["accum"], spp=state["spp_done"])
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_multihost(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    # one local CPU device per process (the parent test env forces 8)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("RTT_TPU_TESTS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD, str(i), coord, str(tmp_path)],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in (0, 1)
+    ]
+    errs = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost child timed out")
+        errs.append(err.decode(errors="replace"))
+        assert p.returncode == 0, errs
+    a = np.load(tmp_path / "out_0.npz")
+    b = np.load(tmp_path / "out_1.npz")
+    # identical framebuffers on every host, real content, correct spp
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["accum"], b["accum"])
+    assert np.isfinite(a["accum"]).all()
+    assert float(np.abs(a["accum"]).sum()) > 0.0
+    assert int(a["spp"]) == 2

@@ -102,3 +102,33 @@ def test_finalize_ppm_cpp_matches_python():
     cpp = native.finalize_ppm_p3(accum, spp)
     py = ppm_p3_bytes(finalize_image(accum, spp))
     assert cpp.split() == py.split()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_cluster_aabbs_cpp_matches_numpy():
+    """AABB treelet cut: C++ and NumPy implement the same algorithm, so the
+    clustering (order, starts, bounds) must agree exactly."""
+    from rustraytrace_tpu.ops.bvh import cluster_aabbs_numpy
+
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(-50, 50, (200, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.5, 20, (200, 3)).astype(np.float32)
+    o_c, s_c, mn_c, mx_c = native.build_aabb_clusters(lo, hi, max_leaf=16)
+    o_n, s_n, mn_n, mx_n = cluster_aabbs_numpy(lo, hi, max_leaf=16)
+    # std::partition/nth_element are unstable, so orders can differ within a
+    # cluster; the cut structure and SAH quality must agree closely
+    np.testing.assert_array_equal(s_c, s_n)
+
+    def area_sum(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return float((2 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                           + d[:, 2] * d[:, 0])).sum())
+
+    assert abs(area_sum(mn_c, mx_c) - area_sum(mn_n, mx_n)) <= (
+        0.05 * area_sum(mn_n, mx_n))
+    # coverage: every primitive appears once; cluster bounds contain prims
+    assert sorted(o_c.tolist()) == list(range(200))
+    for c in range(len(s_c) - 1):
+        ids = o_c[s_c[c]:s_c[c + 1]]
+        assert np.all(lo[ids] >= mn_c[c] - 1e-4)
+        assert np.all(hi[ids] <= mx_c[c] + 1e-4)

@@ -116,3 +116,48 @@ def test_spp_traced_mesh():
     n = int(mesh.devices.size)
     assert spp_traced_mesh(n + 1, mesh) == 2 * n
     assert spp_traced_mesh(n, mesh) == n
+
+
+def test_wavefront_eligibility():
+    """Image-textured scenes route to the segmented wavefront kernel iff
+    every image texture sits on a sphere material."""
+    from rustraytrace_tpu.ops.pallas_wavefront import wavefront_eligible
+
+    earth, _, _ = models.book2_earth()
+    assert wavefront_eligible(earth, "path")
+    assert not wavefront_eligible(earth, "mis")
+    final, _, _ = models.book2_final_scene()
+    assert wavefront_eligible(final, "path")
+    plain, _, _ = models.book1_three_spheres()
+    assert not wavefront_eligible(plain, "path")  # no image -> megakernel
+
+
+def test_wavefront_compaction_partition():
+    """_compact is a stable alive-first partition with a faithful orig map
+    (pure XLA — testable on CPU even though the segment kernel is not)."""
+    import numpy as np
+
+    from rustraytrace_tpu.ops.pallas_wavefront import _compact
+
+    rows, lanes = 4, 128
+    R = rows * lanes
+    rng = np.random.default_rng(0)
+    alive = (rng.random(R) < 0.3).astype(np.float32)
+    st = np.zeros((14, rows, lanes), np.float32)
+    st[13] = alive.reshape(rows, lanes)
+    # unique payload per slot to track the permutation
+    st[10] = np.arange(R, dtype=np.float32).reshape(rows, lanes)
+    orig = jnp.arange(R, dtype=jnp.int32)
+    st2, orig2 = jax.jit(_compact, static_argnums=2)(
+        jnp.asarray(st), orig, rows)
+    st2, orig2 = np.asarray(st2), np.asarray(orig2)
+    a2 = st2[13].reshape(R)
+    n_alive = int(alive.sum())
+    assert np.all(a2[:n_alive] == 1.0) and np.all(a2[n_alive:] == 0.0)
+    # stability: alive slots keep their relative order; payload rides along
+    np.testing.assert_array_equal(orig2[:n_alive], np.nonzero(alive)[0])
+    np.testing.assert_array_equal(st2[10].reshape(R), orig2.astype(np.float32))
+    # unscramble: scatter back to orig recovers the original payload
+    rad = np.zeros(R, np.float32)
+    rad[orig2] = st2[10].reshape(R)
+    np.testing.assert_array_equal(rad, np.arange(R, dtype=np.float32))
