@@ -15,6 +15,7 @@ from .scenes import (
     book2_cornell_smoke,
     book2_final_scene,
     book3_cornell_box,
+    sphere_field_10k,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "book2_cornell_smoke",
     "book2_final_scene",
     "book3_cornell_box",
+    "sphere_field_10k",
 ]

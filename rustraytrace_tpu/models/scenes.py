@@ -90,10 +90,11 @@ def book1_three_spheres(overrides: Optional[dict] = None):
 
 
 def _random_sphere_field(b: SceneBuilder, rng: np.random.Generator,
-                         moving: bool, checker_ground: bool):
+                         moving: bool, checker_ground: bool, half: int = 11):
     """Shared 22x22 random sphere field (in_one_weekend/mod.rs:57-105,
     the_next_week/mod.rs:83-133). Draw order mirrors the reference so the
-    object distribution matches."""
+    object distribution matches.  ``half`` widens the grid beyond the
+    reference's +/-11 for scaling studies (sphere_field_10k)."""
     if checker_ground:
         tex = b.checker(0.32, (0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
         ground = b.lambertian(tex=tex)
@@ -101,8 +102,8 @@ def _random_sphere_field(b: SceneBuilder, rng: np.random.Generator,
         ground = b.lambertian((0.5, 0.5, 0.5))
     b.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
 
-    for a in range(-11, 11):
-        for bb in range(-11, 11):
+    for a in range(-half, half):
+        for bb in range(-half, half):
             choose_mat = rng.random()
             center = np.array([a + 0.9 * rng.random(), 0.2, bb + 0.9 * rng.random()])
             if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
@@ -132,6 +133,25 @@ def book1_random_spheres(overrides: Optional[dict] = None, seed: int = _SCENE_SE
     b = SceneBuilder()
     _random_sphere_field(b, np.random.default_rng(seed), moving=False,
                          checker_ground=False)
+    cfg = RenderConfig(
+        aspect_ratio=16.0 / 9.0, image_width=1200, samples_per_pixel=10,
+        max_depth=20, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), defocus_angle=0.6, focus_dist=10.0,
+    )
+    return _finish(b, cfg, "path", overrides)
+
+
+def sphere_field_10k(overrides: Optional[dict] = None,
+                     seed: int = _SCENE_SEED, half: int = 50):
+    """BEYOND-REFERENCE scaling scene: the book-1 material mix on a
+    100x100 grid (~10,000 spheres).  Exercises the two-level SAH cluster
+    hierarchy (supercluster cull -> cluster cull -> per-sphere tests) and
+    the slab-windowed winner-attribute fetch at a primitive count where the
+    reference's recursive BVH (bvh.rs:160-172) is its only viable path and
+    any flat scan would drown."""
+    b = SceneBuilder()
+    _random_sphere_field(b, np.random.default_rng(seed), moving=False,
+                         checker_ground=False, half=half)
     cfg = RenderConfig(
         aspect_ratio=16.0 / 9.0, image_width=1200, samples_per_pixel=10,
         max_depth=20, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
@@ -402,6 +422,7 @@ SCENES: Dict[str, Callable] = {
     "book2_final_scene": book2_final_scene,
     "book3_cornell_box": book3_cornell_box,
     "the_rest_of_your_life": book3_cornell_box,
+    "sphere_field_10k": sphere_field_10k,
 }
 
 # book-2 numeric dispatch, mirroring the_next_week/mod.rs:68-81

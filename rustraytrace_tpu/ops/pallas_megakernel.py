@@ -382,24 +382,46 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
              ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
              rx_ref, ry_ref, rz_ref) = refs
 
-        def _make_fetch(ref, nsl):
-            def fetch(a, lane, slab):
-                """Winner-attribute lookup: row-slab gathers (lane-confined)
-                selected by the slab index — one fetch per bounce instead of
-                per-primitive attribute carries in the hot loop."""
-                val = jnp.take_along_axis(
-                    jnp.broadcast_to(ref[a * nsl:a * nsl + 1, :], shape),
-                    lane, axis=1)
-                for k in range(1, nsl):
-                    vk = jnp.take_along_axis(
-                        jnp.broadcast_to(ref[a * nsl + k:a * nsl + k + 1, :],
-                                         shape), lane, axis=1)
-                    val = jnp.where(slab == k, vk, val)
-                return val
-            return fetch
+        def _make_fetch_group(ref, nsl):
+            """Slab-WINDOWED winner-attribute fetch: gathers every requested
+            attribute row in one sweep over only the slabs the tile's
+            winners actually occupy.  Ray tiles are screen-coherent (32x32
+            swizzle) and primitive tables are SAH-ordered, so winners within
+            a tile usually share ONE 128-lane slab — the per-slab
+            ``lax.cond`` then skips the other nsl-1 slabs whole-tile.  This
+            replaced the unconditional all-slab loop that made the
+            1000-sphere cloud of book2_final dominate its bounce cost
+            (measured: 62% of kernel time at n_slabs=8; see ROADMAP.md)."""
 
-        fetch_attr = _make_fetch(atab_ref, n_slabs)
-        fetch_batt = _make_fetch(batab_ref, b_slabs)
+            def fetch_group(rows, lane, slab, valid):
+                if nsl == 1:
+                    return [jnp.take_along_axis(
+                        jnp.broadcast_to(ref[a:a + 1, :], shape), lane,
+                        axis=1) for a in rows]
+                slabf = slab.astype(_F32)
+                smin = jnp.min(jnp.where(valid, slabf, float(nsl - 1)))
+                smax = jnp.max(jnp.where(valid, slabf, 0.0))
+                vals = tuple(zeros for _ in rows)
+
+                for k in range(nsl):
+                    def take(*vs, _k=k):
+                        sel = slab == _k
+                        return tuple(
+                            jnp.where(sel, jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    ref[a * nsl + _k:a * nsl + _k + 1, :],
+                                    shape), lane, axis=1), v)
+                            for a, v in zip(rows, vs))
+
+                    need = (smin <= float(k)) & (float(k) <= smax)
+                    vals = jax.lax.cond(need, take,
+                                        lambda *vs: tuple(vs), *vals)
+                return list(vals)
+
+            return fetch_group
+
+        fetch_attrs = _make_fetch_group(atab_ref, n_slabs)
+        fetch_batts = _make_fetch_group(batab_ref, b_slabs)
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         zeros = jnp.zeros(shape, _F32)
@@ -429,14 +451,14 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 # slim layout keeps 10k-sphere scenes inside the scalar-
                 # memory budget (winner attributes live in the VMEM atab)
                 bt, bi = carry
-                cx = tab_ref[s, 0]
-                cy = tab_ref[s, 1]
-                cz = tab_ref[s, 2]
-                r2 = tab_ref[s, 3]
+                cx = tab_ref[0, s]
+                cy = tab_ref[1, s]
+                cz = tab_ref[2, s]
+                r2 = tab_ref[3, s]
                 if moving:
-                    cx = cx + tm * tab_ref[s, 4]
-                    cy = cy + tm * tab_ref[s, 5]
-                    cz = cz + tm * tab_ref[s, 6]
+                    cx = cx + tm * tab_ref[4, s]
+                    cy = cy + tm * tab_ref[5, s]
+                    cz = cz + tm * tab_ref[6, s]
                 ocx = cx - ox
                 ocy = cy - oy
                 ocz = cz - oz
@@ -605,28 +627,29 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     )
                 return out
 
-            # one-time winner-attribute fetch (slab gathers) — the sphere
-            # loop carries only (best_t, best_idx)
+            # one-time winner-attribute fetch (windowed slab gathers) — the
+            # sphere loop carries only (best_t, best_idx)
             bt, bi = carry
             lane = bi & 127
             slab = bi >> 7
-            kind = fetch_attr(0, lane, slab)
-            ar = fetch_attr(1, lane, slab)
-            ag = fetch_attr(2, lane, slab)
-            ab = fetch_attr(3, lane, slab)
-            fz = fetch_attr(4, lane, slab)
-            io = fetch_attr(5, lane, slab)
-            cxw = fetch_attr(6, lane, slab)
-            cyw = fetch_attr(7, lane, slab)
-            czw = fetch_attr(8, lane, slab)
-            invr = fetch_attr(9, lane, slab)
+            shit = bi >= 0
+            rows_ = list(range(10))
             na = 10
             if moving:
-                cxw = cxw + tm * fetch_attr(na, lane, slab)
-                cyw = cyw + tm * fetch_attr(na + 1, lane, slab)
-                czw = czw + tm * fetch_attr(na + 2, lane, slab)
+                rows_ += [na, na + 1, na + 2]
                 na += 3
-            shit = bi >= 0
+            if has_tex:
+                rows_ += [na, na + 1, na + 2, na + 3, na + 4]
+            if has_image:
+                rows_ += [na + 5]
+            got = fetch_attrs(rows_, lane, slab, shit)
+            (kind, ar, ag, ab, fz, io, cxw, cyw, czw, invr) = got[:10]
+            gi = 10
+            if moving:
+                cxw = cxw + tm * got[gi]
+                cyw = cyw + tm * got[gi + 1]
+                czw = czw + tm * got[gi + 2]
+                gi += 3
             kind = jnp.where(shit, kind, 0.0)
             # outward normal = (p - c)/r = (bt*d - oc)/r
             nx = (bt * dx - (cxw - ox)) * invr
@@ -637,18 +660,16 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             nz = jnp.where(shit, nz, 1.0)
             carry = (bt, kind, ar, ag, ab, fz, io, nx, ny, nz)
             if has_tex:
-                tk = jnp.where(shit, fetch_attr(na, lane, slab), 0.0)
-                c2r = fetch_attr(na + 1, lane, slab)
-                c2g = fetch_attr(na + 2, lane, slab)
-                c2b = fetch_attr(na + 3, lane, slab)
-                ivs = fetch_attr(na + 4, lane, slab)
+                tk = jnp.where(shit, got[gi], 0.0)
+                c2r, c2g, c2b, ivs = got[gi + 1:gi + 5]
+                gi += 5
                 carry = carry + (tk, c2r, c2g, c2b, ivs)
             if has_image:
                 # image index of the winning sphere's texture; only sphere
                 # materials may carry image textures (wavefront_eligible),
                 # so the loops below never need to update it: any later
                 # quad/box/media winner overwrites tk away from TEX_IMAGE
-                img_w = jnp.where(shit, fetch_attr(na + 5, lane, slab), 0.0)
+                img_w = jnp.where(shit, got[gi], 0.0)
 
             if n_boxes:
                 # box-winner attributes + face normal: refetch lo/hi through
@@ -657,18 +678,10 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 bwon = bbi >= 0
                 blane = bbi & 127
                 bslab = bbi >> 7
-                bkind = fetch_batt(0, blane, bslab)
-                bar = fetch_batt(1, blane, bslab)
-                bag = fetch_batt(2, blane, bslab)
-                bab = fetch_batt(3, blane, bslab)
-                bfz = fetch_batt(4, blane, bslab)
-                bio = fetch_batt(5, blane, bslab)
-                blox = fetch_batt(6, blane, bslab)
-                bloy = fetch_batt(7, blane, bslab)
-                bloz = fetch_batt(8, blane, bslab)
-                bhix = fetch_batt(9, blane, bslab)
-                bhiy = fetch_batt(10, blane, bslab)
-                bhiz = fetch_batt(11, blane, bslab)
+                brows = list(range(17 if has_tex else 12))
+                bgot = fetch_batts(brows, blane, bslab, bwon)
+                (bkind, bar, bag, bab, bfz, bio,
+                 blox, bloy, bloz, bhix, bhiy, bhiz) = bgot[:12]
                 tx1 = (blox - ox) * ivx
                 tx2 = (bhix - ox) * ivx
                 ty1 = (bloy - oy) * ivy
@@ -711,11 +724,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                        jnp.where(bwon, bnz, nz))
                 if has_tex:
                     (tk, c2r, c2g, c2b, ivs) = carry[10:]
-                    btk = fetch_batt(12, blane, bslab)
-                    bc2r = fetch_batt(13, blane, bslab)
-                    bc2g = fetch_batt(14, blane, bslab)
-                    bc2b = fetch_batt(15, blane, bslab)
-                    bivs = fetch_batt(16, blane, bslab)
+                    btk, bc2r, bc2g, bc2b, bivs = bgot[12:17]
                     out = out + (jnp.where(bwon, btk, tk),
                                  jnp.where(bwon, bc2r, c2r),
                                  jnp.where(bwon, bc2g, c2g),
@@ -1268,19 +1277,31 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
         if segment:
             # ---- SEGMENT MODE: one bounce over carried ray state ----
-            # state rows: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad, 13 alive
-            b = seed_ref[1]
+            # state rows: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad,
+            # 13 alive, 14 PER-LANE bounce count.  The bounce count is a
+            # lane vector (not the scalar segment index) because the XLA
+            # driver RESPAWNS a lane's next sample the moment its path
+            # dies — lanes in one tile sit at different depths, and RR
+            # thresholds / depth exhaustion must follow each lane's own
+            # bounce age.
             any_alive = jnp.max(st_ref[13]) > 0.0
 
             @pl.when(any_alive)
             def _run():
-                state = (b, st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                state = (st_ref[14], st_ref[0], st_ref[1], st_ref[2],
+                         st_ref[3],
                          st_ref[4], st_ref[5], st_ref[6], st_ref[7],
                          st_ref[8], st_ref[9], st_ref[10], st_ref[11],
                          st_ref[12], st_ref[13])
                 out = bounce_body(state)
-                for k in range(14):
+                for k in range(13):
                     sto_ref[k] = out[k + 1]
+                # depth exhaustion: a lane that has taken max_depth bounces
+                # is dead no matter what the material decided
+                # (ray_color's depth<=0 base case, camera.rs:186-187)
+                sto_ref[13] = jnp.where(out[0] < float(max_depth),
+                                        out[14], 0.0)
+                sto_ref[14] = out[0]
                 if has_image:
                     pend_ref[0] = out[15]
                     pend_ref[1] = out[16]
@@ -1395,7 +1416,7 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
     vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_kernel(tab.shape[0], n_quads, n_clusters, moving, max_depth,
+        _make_kernel(tab.shape[1], n_quads, n_clusters, moving, max_depth,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
                      stratified=stratified, sqrt_spp=sqrt_spp,
@@ -1631,9 +1652,13 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     bg = jnp.concatenate([cam.background.astype(_F32), jnp.zeros(1, _F32)])
 
     # device-side sphere table: geometry-only (see kernel body); the full
-    # 24-col table stays host-side to source the atab attribute slabs
+    # 24-col table stays host-side to source the atab attribute slabs.
+    # COLUMN-major [cols, N]: Mosaic pads an SMEM window's minor dim to 128
+    # lanes, so the row-major [N, 4] layout ballooned 32x (a 10k-sphere
+    # scene asked for 5 MB of the 1 MB SMEM budget); [cols, N] already has
+    # a >=128 minor dim at any real N and stays at true size.
     gcols = [J_CX, J_CY, J_CZ, J_R2] + ([J_VX, J_VY, J_VZ] if moving else [])
-    gtab = tab[:, jnp.asarray(gcols)]
+    gtab = tab[:, jnp.asarray(gcols)].T
     arrays = dict(tab=gtab, qtab=qtab, clb=clb, cls=cls, sclb=sclb,
                   scls=scls, btab=btab,
                   bclb=bclb, bcls=bcls, batab=batab, ltab=ltab, mtab=mtab,

@@ -29,18 +29,20 @@ every lane is dead, and per-tile ``pl.when`` guards skip all compute for
 fully-dead tiles — the wavefront analog of the megakernel's whole-tile early
 exit.  Like the megakernel, the on-core PRNG has no CPU lowering: TPU-only.
 
-ALIVE-RAY COMPACTION (``compact=True``): between segments, surviving rays
-are packed to the front of the slot array with an O(R) stable partition
-(cumsum ranks + one gather — far cheaper than a bitonic sort on TPU), so
-dead-majority tiles become ALL-dead tiles that the kernel's ``pl.when``
-early-exit skips outright.  A carried ``orig`` index unscrambles radiance at
-the end.  Ray draws stay fresh (the per-segment PRNG streams are keyed by
-(pass, bounce, tile) counters, never reused), so moving a ray between tiles
-just re-keys its stream — the estimator is unchanged in distribution.  This
-generalizes the wavefront backend beyond image textures: deep-depth scenes
-where the monolithic megakernel pays whole-tile residency for a few
-straggler lanes can run segmented + compacted instead (measured: see
-ROADMAP.md).
+DEAD-LANE ECONOMICS (two designs measured on the v5e, round 2):
+
+1. ALIVE-RAY COMPACTION (stable-partition surviving rays between segments
+   so dead-majority tiles become all-dead tiles the kernel skips) LOST on
+   every tested workload — the XLA scatter+gather permutation of the whole
+   ray state cost more than the dead-tile skips saved, because (a) the
+   32x32 screen swizzle already gives spatially-coherent death, so
+   whole-tile early exits capture most of the win, and (b) TPU scatter at
+   R~1e6 is slow.  flagship d50: 11.2M paths/s uncompacted vs 0.94M with
+   an every-bounce trigger; earth 14.8M vs 4.0M; final 1.19M vs 0.85M.
+   The code was removed (see git history).
+2. SAMPLE RESPAWN (this file, ``_wavefront_pass``): instead of moving
+   surviving rays, refill dead lanes in place with the lane's own next
+   sample.  No permutation, no tail — see the function docstring.
 """
 
 from __future__ import annotations
@@ -106,9 +108,12 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                        has_noise: bool, n_slabs: int, n_boxes: int,
                        n_bclusters: int, b_slabs: int, has_image: bool,
                        interpret: bool):
-    """One bounce for every ray: st [14, rows, 128] -> (st', pending [4,...])."""
+    """One bounce for every ray: st [15, rows, 128] -> (st', pending [4,...]).
+
+    State rows: 0 tm, 1-3 origin, 4-6 direction, 7-9 attenuation,
+    10-12 radiance, 13 alive, 14 per-lane bounce count."""
     grid = (rows // tile_rows,)
-    st_spec = pl.BlockSpec((14, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+    st_spec = pl.BlockSpec((15, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     pend_spec = pl.BlockSpec((4, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
@@ -116,10 +121,10 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                                      memory_space=pltpu.SMEM)
     vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
-    outs = (jax.ShapeDtypeStruct((14, rows, TILE_LANES), _F32),
+    outs = (jax.ShapeDtypeStruct((15, rows, TILE_LANES), _F32),
             jax.ShapeDtypeStruct((4, rows, TILE_LANES), _F32))
     kernel = _make_kernel(
-        tab.shape[0], n_quads, n_clusters, moving, max_depth, sky_bg,
+        tab.shape[1], n_quads, n_clusters, moving, max_depth, sky_bg,
         spp=1, width=1, height=1, defocus=False, tile_rows=tile_rows,
         has_checker=has_checker, mis=False, n_lights=0, stratified=False,
         sqrt_spp=0, n_media=n_media, has_noise=has_noise, n_slabs=n_slabs,
@@ -176,32 +181,31 @@ def _slot_pixels(width: int, height: int, tile_rows: int):
     return jnp.asarray(px), jnp.asarray(py), rows
 
 
-def _compact(st, orig, rows: int):
-    """Stable-partition the ray slots: alive first, dead last — O(R) cumsum
-    ranks + one scatter + one gather (no sort).  Packed dead tiles hit the
-    segment kernel's whole-tile ``pl.when`` skip.  ``orig`` carries each
-    slot's original index so radiance unscrambles at the end."""
-    R = rows * TILE_LANES
-    a = (st[13].reshape(R) > 0.0).astype(jnp.int32)
-    rank_alive = jnp.cumsum(a) - 1
-    rank_dead = jnp.cumsum(1 - a) - 1
-    n_alive = rank_alive[-1] + 1
-    pos = jnp.where(a > 0, rank_alive, n_alive + rank_dead)  # dest slot
-    src = jnp.zeros(R, jnp.int32).at[pos].set(
-        jnp.arange(R, dtype=jnp.int32))
-    st = st.reshape(14, R)[:, src].reshape(14, rows, TILE_LANES)
-    return st, orig[src]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "stratified",
-                     "sqrt_spp", "statics", "compact"),
+                     "sqrt_spp", "statics"),
 )
 def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
                     sample_offset, *, spp: int, max_depth: int, rows: int,
                     tile_rows: int, stratified: bool, sqrt_spp: int,
-                    statics: tuple, compact: bool):
+                    statics: tuple):
+    """Persistent-lane wavefront pass with SAMPLE RESPAWN: every lane owns
+    one pixel slot and walks through its ``spp`` samples back-to-back — the
+    moment a path dies (absorbed, missed, RR-killed, depth-exhausted) the
+    lane's radiance is banked and the NEXT sample's camera ray respawns in
+    the same slot on the next segment.  Tiles therefore stay ~100% alive
+    until the global tail, so the total segment count is
+    ~ spp x E[path length] instead of spp x max(path length): the
+    dead-lane-tail problem that compaction tried (and measurably failed,
+    see module docstring) to fix disappears at the source.
+
+    RNG: camera draws for respawns at segment g come from the
+    fold_in(key, g) threefry stream — each lane respawns at most once per
+    segment, so (lane, segment) pairs never reuse a draw.  Path draws use
+    the on-core PRNG keyed by (pass, segment, tile), never reused.  Streams
+    differ from the per-sample XLA path's but the estimator is identical in
+    distribution; per-pixel sample counts are exactly ``spp``."""
     from ..camera import generate_rays
 
     stat = dict(statics)
@@ -212,97 +216,112 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
                 arrays["btab"], arrays["bclb"], arrays["bcls"],
                 arrays["batab"], arrays["ltab"], arrays["mtab"],
                 arrays["ptab"], arrays["vtab"], arrays["atab"], arrays["bg"])
+    shape2 = (rows, TILE_LANES)
+    ones = jnp.ones(shape2, _F32)
+    zeros = jnp.zeros(shape2, _F32)
 
-    def one_sample(s, accum):
-        s_idx = s + sample_offset
-        key_s = jax.random.fold_in(key, s_idx)
-        k_cam, k_path = jax.random.split(key_s)
-        cam_draws = jax.random.uniform(k_cam, (R, 5), dtype=_F32)
+    k_cam = jax.random.fold_in(key, 0x0CAF)
+    seed_base = jax.random.key_data(
+        jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
+
+    def rr_(x):
+        return x.reshape(shape2)
+
+    def spawn(g, s_next):
+        """Camera rays for lanes starting absolute sample s_next [R] i32."""
+        draws = jax.random.uniform(jax.random.fold_in(k_cam, g), (R, 5),
+                                   dtype=_F32)
         if stratified:
-            s_w = s_idx % (sqrt_spp * sqrt_spp)
-            strat = ((s_w % sqrt_spp).astype(_F32),
-                     (s_w // sqrt_spp).astype(_F32), float(sqrt_spp))
+            # per-lane stratum from the lane's own absolute sample index
+            # (the_rest_of_your_life/camera.rs:114-116,173-177), wrapped to
+            # the sqrt_spp^2 grid so shard-padded extras stay in-pixel
+            n2 = float(sqrt_spp * sqrt_spp)
+            s_w = jnp.mod(s_next.astype(_F32), n2)
+            s_i = jnp.mod(s_w, float(sqrt_spp))
+            s_j = jnp.floor(s_w * (1.0 / float(sqrt_spp)))
+            strat = (s_i, s_j, float(sqrt_spp))
         else:
             strat = None
-        o, d, time = generate_rays(cam, px, py, cam_draws, strat)
+        o, d, time = generate_rays(cam, px, py, draws, strat)
+        return (rr_(time), rr_(o[:, 0]), rr_(o[:, 1]), rr_(o[:, 2]),
+                rr_(d[:, 0]), rr_(d[:, 1]), rr_(d[:, 2]))
 
-        def rr(x):
-            return x.reshape(rows, TILE_LANES)
+    tm0, ox0, oy0, oz0, dx0, dy0, dz0 = spawn(
+        0, jnp.zeros(R, jnp.int32) + sample_offset)
+    st0 = jnp.stack([tm0, ox0, oy0, oz0, dx0, dy0, dz0,
+                     ones, ones, ones, zeros, zeros, zeros, ones, zeros])
+    max_segs = spp * max_depth + 1  # safety bound; real count is ~spp*E[len]
 
-        ones = jnp.ones((rows, TILE_LANES), _F32)
-        zeros = jnp.zeros((rows, TILE_LANES), _F32)
-        st = jnp.stack([
-            rr(time), rr(o[:, 0]), rr(o[:, 1]), rr(o[:, 2]),
-            rr(d[:, 0]), rr(d[:, 1]), rr(d[:, 2]),
-            ones, ones, ones, zeros, zeros, zeros, ones,
+    def cond(c):
+        g, st, done, accum = c
+        return (g < max_segs) & (jnp.max(st[13]) > 0.0)
+
+    def body(c):
+        g, st, done, accum = c
+        seed = jnp.stack(
+            [jax.lax.bitwise_xor(seed_base, g * _GOLDEN), g]
+        ).astype(jnp.int32)
+        st2, pend = _wavefront_seg_raw(
+            *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
+            max_depth=max_depth, **{k: v for k, v in stat.items()
+                                    if k not in ("max_depth",)})
+        if has_image:
+            # resolve deferred texels: +flag multiplies the attenuation,
+            # -flag adds light emission (atten unchanged by the kernel
+            # for light lanes, so this is the attenuation AT the hit).
+            # Sphere UV from the pre-flip outward normal the kernel
+            # emitted (sphere.rs:47-53) — exact, in XLA where acos/atan2
+            # are native.
+            nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
+            pi_ = jnp.float32(jnp.pi)
+            th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
+            ph_ = jnp.arctan2(-nz_, nx_) + pi_
+            pu = ph_ * (0.5 / pi_)
+            pv = th_ * (1.0 / pi_)
+            img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
+                              0, scene.images.shape[0] - 1)
+            texel = jnp.moveaxis(
+                image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
+            mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
+            add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
+                   * st2[7:10])
+            st2 = st2.at[7:10].multiply(mul)
+            st2 = st2.at[10:13].add(add)
+        # bank radiance of paths that died THIS segment, then respawn the
+        # lane's next sample (if any remain) in place
+        fin = (st[13] > 0.0) & (st2[13] <= 0.0)
+        accum = accum + jnp.where(fin[None], st2[10:13], 0.0)
+        done = done + jnp.where(fin, 1.0, 0.0)
+        live_next = fin & (done < float(spp))
+        s_next = done.reshape(R).astype(jnp.int32) + sample_offset
+        tm, ox, oy, oz, dx, dy, dz = spawn(g + 1, s_next)
+
+        def sel(new, old):
+            return jnp.where(live_next, new, old)
+
+        finz = jnp.where(fin, 0.0, 1.0)
+        st3 = jnp.stack([
+            sel(tm, st2[0]), sel(ox, st2[1]), sel(oy, st2[2]),
+            sel(oz, st2[3]),
+            sel(dx, st2[4]), sel(dy, st2[5]), sel(dz, st2[6]),
+            sel(ones, st2[7]), sel(ones, st2[8]), sel(ones, st2[9]),
+            st2[10] * finz, st2[11] * finz, st2[12] * finz,
+            jnp.where(live_next, 1.0, st2[13]),
+            sel(zeros, st2[14]),
         ])
-        seed_base = jax.random.key_data(k_path).astype(
-            jnp.int32).reshape(-1)[0]
+        return g + 1, st3, done, accum
 
-        orig0 = jnp.arange(R, dtype=jnp.int32)
-
-        def cond(c):
-            b, st, orig = c
-            return (b < max_depth) & (jnp.max(st[13]) > 0.0)
-
-        def body(c):
-            b, st, orig = c
-            seed = jnp.stack(
-                [jax.lax.bitwise_xor(seed_base, b * _GOLDEN), b]
-            ).astype(jnp.int32)
-            st2, pend = _wavefront_seg_raw(
-                *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
-                max_depth=max_depth, **{k: v for k, v in stat.items()
-                                        if k not in ("max_depth",)})
-            if has_image:
-                # resolve deferred texels: +flag multiplies the attenuation,
-                # -flag adds light emission (atten unchanged by the kernel
-                # for light lanes, so this is the attenuation AT the hit).
-                # Sphere UV from the pre-flip outward normal the kernel
-                # emitted (sphere.rs:47-53) — exact, in XLA where acos/atan2
-                # are native.
-                nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
-                pi_ = jnp.float32(jnp.pi)
-                th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
-                ph_ = jnp.arctan2(-nz_, nx_) + pi_
-                pu = ph_ * (0.5 / pi_)
-                pv = th_ * (1.0 / pi_)
-                img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
-                                  0, scene.images.shape[0] - 1)
-                texel = jnp.moveaxis(
-                    image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
-                mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
-                add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
-                       * st2[7:10])
-                st2 = st2.at[7:10].multiply(mul)
-                st2 = st2.at[10:13].add(add)
-            if compact:
-                # pack alive rays forward only once enough lanes have died
-                # to matter (the permute costs one HBM round trip; early
-                # bounces are nearly all-alive)
-                frac = jnp.mean(st2[13])
-                st2, orig = jax.lax.cond(
-                    frac < 0.875,
-                    lambda s, o: _compact(s, o, rows),
-                    lambda s, o: (s, o),
-                    st2, orig)
-            return b + 1, st2, orig
-
-        _, st_f, orig_f = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), st, orig0))
-        rad = st_f[10:13].reshape(3, R)  # [3,R] in compacted slot order
-        if compact:
-            rad = jnp.zeros_like(rad).at[:, orig_f].set(rad)
-        return accum + rad.T
-
-    return jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((R, 3), _F32))
+    _, _, _, accum = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), st0, zeros,
+         jnp.zeros((3,) + shape2, _F32)))
+    return accum.reshape(3, R).T  # [R, 3] radiance sums
 
 
 def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                           spp: int, max_depth: int, sample_offset=0,
                           stratified: bool = False, sqrt_spp: int = 0,
                           tile_rows: int = TILE_ROWS,
-                          compact: bool = True,
                           interpret: bool | None = None) -> jnp.ndarray:
     """Whole-image wavefront render pass; returns the radiance SUM [H, W, 3]
     (the same contract as render.render_pass)."""
@@ -322,6 +341,5 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         scene, arrays, cam, key, px, py,
         jnp.asarray(sample_offset, jnp.int32),
         spp=spp, max_depth=max_depth, rows=rows, tile_rows=tile_rows,
-        stratified=stratified, sqrt_spp=sqrt_spp, statics=seg_statics,
-        compact=compact)
+        stratified=stratified, sqrt_spp=sqrt_spp, statics=seg_statics)
     return accum[_unswizzle_index(width, height)].reshape(height, width, 3)

@@ -175,8 +175,8 @@ def wavefront_shard_eligible(scene: Scene, integrator: str,
 def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                   height: int, spp: int, max_depth: int,
                                   mesh: Mesh, stratified: bool = False,
-                                  sqrt_spp: int = 0, sample_offset: int = 0,
-                                  compact: bool = True) -> jnp.ndarray:
+                                  sqrt_spp: int = 0,
+                                  sample_offset: int = 0) -> jnp.ndarray:
     """spp-sharded WAVEFRONT pass (image-textured scenes): host table prep
     once, per-device segmented bounce loops at device-distinct sample
     offsets, psum'd radiance sum [H, W, 3] (replicated).
@@ -212,7 +212,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
             scene_, arrays_, cfg_cam, key, px_, py_, off,
             spp=spp_local, max_depth=max_depth, rows=rows,
             tile_rows=tile_rows, stratified=stratified, sqrt_spp=sqrt_spp,
-            statics=seg_statics, compact=compact)
+            statics=seg_statics)
         return acc[unswz].reshape(height, width, 3)
 
     return sharded_megakernel_wiring(

@@ -7,11 +7,11 @@ Usage:
 
 Cases (default: all):
     flagship         book1_random_spheres 1200x675 @64spp d50, auto backend
-    flagship_wf      same scene forced through the compacted wavefront path
-    flagship_wf_nc   wavefront without compaction (isolates the packing win)
+    flagship_wf      same scene forced through the respawn wavefront path
     final            book2_final_scene 800x800 @32spp d40 (reference flagship)
     earth            book2_earth 800x450 @64spp d50
     cornell_mis      book3_cornell_box 600x600 @64spp d50 (MIS megakernel)
+    field10k         sphere_field_10k 1200x675 @64spp d50 (~10k spheres)
 
 Each case prints one JSON line {case, backend, paths_per_s, elapsed_s, shape}.
 Timing: best of 2 after a warmup that absorbs the tunnel's first-execution
@@ -43,8 +43,6 @@ def run_case(name: str) -> dict:
         backend = "auto"
         if name == "flagship_wf":
             backend = "wavefront"
-        elif name == "flagship_wf_nc":
-            backend, wf_kw = "wavefront", {"compact": False}
     elif name == "final":
         scene, cfg, _ = models.book2_final_scene(
             dict(image_width=800, samples_per_pixel=32, max_depth=40))
@@ -52,6 +50,10 @@ def run_case(name: str) -> dict:
     elif name == "earth":
         scene, cfg, _ = models.book2_earth(
             dict(image_width=800, samples_per_pixel=64, max_depth=50))
+        integ, spp, depth, backend = "path", 64, 50, "auto"
+    elif name == "field10k":
+        scene, cfg, _ = models.sphere_field_10k(
+            dict(image_width=1200, samples_per_pixel=64, max_depth=50))
         integ, spp, depth, backend = "path", 64, 50, "auto"
     elif name == "cornell_mis":
         scene, cfg, _ = models.book3_cornell_box(
@@ -103,8 +105,8 @@ def run_case(name: str) -> dict:
 
 
 def main():
-    cases = sys.argv[1:] or ["flagship", "flagship_wf", "flagship_wf_nc",
-                             "final", "earth", "cornell_mis"]
+    cases = sys.argv[1:] or ["flagship", "flagship_wf",
+                             "final", "earth", "cornell_mis", "field10k"]
     for c in cases:
         run_case(c)
 

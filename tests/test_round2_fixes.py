@@ -132,32 +132,44 @@ def test_wavefront_eligibility():
     assert not wavefront_eligible(plain, "path")  # no image -> megakernel
 
 
-def test_wavefront_compaction_partition():
-    """_compact is a stable alive-first partition with a faithful orig map
-    (pure XLA — testable on CPU even though the segment kernel is not)."""
+def test_sphere_field_10k_builds_and_routes():
+    """The scaling scene compiles to ~10k SoA rows and stays megakernel-
+    eligible (two-level cluster hierarchy; VERDICT round-1 item 5)."""
+    from rustraytrace_tpu.ops.pallas_megakernel import (megakernel_eligible,
+                                                        prepare_megakernel)
+    from rustraytrace_tpu.config import derive_camera
+
+    scene, cfg, integ = models.sphere_field_10k(
+        dict(image_width=64, samples_per_pixel=1, max_depth=4))
+    n = int(scene.sph_center.shape[0])
+    assert 9000 <= n <= 10100 and integ == "path"
+    assert megakernel_eligible(scene)
+    cam = derive_camera(cfg)
+    arrays, statics = prepare_megakernel(
+        scene, cam, width=64, height=36, spp=1, max_depth=4,
+        tile_rows=8, interpret=True)
+    # geometry table stays column-major (SMEM budget) and slab count scales
+    assert arrays["tab"].shape[0] in (4, 7)
+    assert statics["n_slabs"] == -(-n // 128)
+
+
+def test_wavefront_respawn_stratum_wrap():
+    """The respawn spawner derives each lane's stratum from its own absolute
+    sample index, wrapped to the sqrt_spp^2 grid so shard-padded extras stay
+    inside the pixel footprint (advisor round-1 finding on parallel/render).
+    Reproduces the arithmetic inline (the spawner itself needs the TPU
+    kernel around it)."""
     import numpy as np
 
-    from rustraytrace_tpu.ops.pallas_wavefront import _compact
-
-    rows, lanes = 4, 128
-    R = rows * lanes
-    rng = np.random.default_rng(0)
-    alive = (rng.random(R) < 0.3).astype(np.float32)
-    st = np.zeros((14, rows, lanes), np.float32)
-    st[13] = alive.reshape(rows, lanes)
-    # unique payload per slot to track the permutation
-    st[10] = np.arange(R, dtype=np.float32).reshape(rows, lanes)
-    orig = jnp.arange(R, dtype=jnp.int32)
-    st2, orig2 = jax.jit(_compact, static_argnums=2)(
-        jnp.asarray(st), orig, rows)
-    st2, orig2 = np.asarray(st2), np.asarray(orig2)
-    a2 = st2[13].reshape(R)
-    n_alive = int(alive.sum())
-    assert np.all(a2[:n_alive] == 1.0) and np.all(a2[n_alive:] == 0.0)
-    # stability: alive slots keep their relative order; payload rides along
-    np.testing.assert_array_equal(orig2[:n_alive], np.nonzero(alive)[0])
-    np.testing.assert_array_equal(st2[10].reshape(R), orig2.astype(np.float32))
-    # unscramble: scatter back to orig recovers the original payload
-    rad = np.zeros(R, np.float32)
-    rad[orig2] = st2[10].reshape(R)
-    np.testing.assert_array_equal(rad, np.arange(R, dtype=np.float32))
+    sqrt_spp = 4
+    n2 = float(sqrt_spp * sqrt_spp)
+    s_next = jnp.arange(40, dtype=jnp.int32)  # > sqrt_spp^2: must wrap
+    s_w = jnp.mod(s_next.astype(jnp.float32), n2)
+    s_i = jnp.mod(s_w, float(sqrt_spp))
+    s_j = jnp.floor(s_w * (1.0 / float(sqrt_spp)))
+    assert float(jnp.max(s_i)) < sqrt_spp and float(jnp.max(s_j)) < sqrt_spp
+    # exact stratum cycle: sample k lands in cell (k%4, (k%16)//4)
+    np.testing.assert_array_equal(
+        np.asarray(s_i), (np.arange(40) % 16 % 4).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(s_j), (np.arange(40) % 16 // 4).astype(np.float32))
