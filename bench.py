@@ -45,7 +45,8 @@ def main():
     w, h = cfg.image_width, cfg.image_height
     key = jax.random.key(0)
 
-    backend = os.environ.get("BENCH_BACKEND") or resolve_backend(scene, "path")
+    backend = os.environ.get("BENCH_BACKEND") or resolve_backend(
+        scene, "path", background=cfg.background)
     kw = dict(width=w, height=h, max_depth=depth, integrator="path",
               chunk=min(chunk, w * h), backend=backend)
 

@@ -872,7 +872,12 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 # marble: 0.5*(1 + sin(scale*z + 10*turb(p,7)))
                 # (texture.rs:122-126; turbulence perlin.rs:50-62; lattice
                 # noise perlin.rs:25-98 with the exact 256-entry tables,
-                # gathered as lo/hi 128-lane halves)
+                # gathered as lo/hi 128-lane halves).  The whole turbulence
+                # evaluation (7 octaves x ~38 dual-slab gathers) is gated
+                # whole-tile on "any winner is TEX_NOISE": scenes where
+                # marble is one object among many (book2_final's single
+                # perlin sphere) would otherwise pay ~500 gathers per bounce
+                # on every tile, marble or not.
                 def g6(row, idx):
                     lo = jnp.take_along_axis(
                         jnp.broadcast_to(ptab_ref[2 * row:2 * row + 1, :],
@@ -923,19 +928,26 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                                 acc = acc + wxf * wyf * wzf * dot
                     return acc
 
-                tacc = zeros
-                wgt = 1.0
-                qx, qy, qz = px_, py_, pz_
-                for _ in range(7):
-                    tacc = tacc + wgt * noise_at(qx, qy, qz)
-                    wgt *= 0.5
-                    qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
-                turbv = jnp.abs(tacc)
-                marble = 0.5 * (1.0 + jnp.sin(ivs * pz_ + 10.0 * turbv))
                 isn = tk == 3.0  # TEX_NOISE
-                car = jnp.where(isn, marble, car)
-                cag = jnp.where(isn, marble, cag)
-                cab = jnp.where(isn, marble, cab)
+
+                def _marble(albs):
+                    car_, cag_, cab_ = albs
+                    tacc = zeros
+                    wgt = 1.0
+                    qx, qy, qz = px_, py_, pz_
+                    for _ in range(7):
+                        tacc = tacc + wgt * noise_at(qx, qy, qz)
+                        wgt *= 0.5
+                        qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
+                    turbv = jnp.abs(tacc)
+                    marble = 0.5 * (1.0 + jnp.sin(ivs * pz_ + 10.0 * turbv))
+                    return (jnp.where(isn, marble, car_),
+                            jnp.where(isn, marble, cag_),
+                            jnp.where(isn, marble, cab_))
+
+                car, cag, cab = jax.lax.cond(
+                    jnp.max(jnp.where(isn, 1.0, 0.0)) > 0.0,
+                    _marble, lambda albs: albs, (car, cag, cab))
 
             d_dot_ow = dx * owx + dy * owy + dz * owz
             front = d_dot_ow < 0.0
@@ -1515,7 +1527,11 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         battrs = [bkind, balb[:, 0], balb[:, 1], balb[:, 2], bfuzz, bior,
                   btab_np[:, B_LOX], btab_np[:, B_LOY], btab_np[:, B_LOZ],
                   btab_np[:, B_HIX], btab_np[:, B_HIY], btab_np[:, B_HIZ]]
-        if ("checker" in scene.features) or ("noise" in scene.features):
+        # must match the kernel's has_tex predicate (checker OR noise OR
+        # image -> 17 batab rows): an image-textured scene without
+        # checker/noise still makes the kernel fetch rows 12-16
+        if (("checker" in scene.features) or ("noise" in scene.features)
+                or (segment and "image" in scene.features)):
             btk = np.asarray(scene.tex_kind)[bmtex]
             bc2 = np.asarray(scene.tex_color2)[bmtex].astype(np.float32)
             bivs = np.where(btk == 3,
@@ -1568,7 +1584,9 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         n_sclusters = 0
         sclb = jnp.zeros((1, 8), _F32)
         scls = jnp.zeros(2, jnp.int32)
-        if n_clusters >= 48:
+        if n_clusters >= 16:  # threshold re-measured round 2: 16 is neutral-to-
+        #  +1M on flagship (489 spheres -> 16 clusters) and required for the
+        #  10k scaling scene; 48 left book2_final's 1006-sphere cloud flat
             from ..native import build_aabb_clusters
 
             sorder, s_start, s_min, s_max = build_aabb_clusters(

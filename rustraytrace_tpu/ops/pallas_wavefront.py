@@ -90,6 +90,27 @@ def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
     return True
 
 
+def texel_gate_heuristic(scene: Scene) -> bool:
+    """Static choice for the per-segment texel-resolve gate: True when
+    image-textured spheres are a sliver of the scene's primitives, so most
+    segments see zero flagged lanes and the whole R-lane gather can be
+    skipped (book2_final: 1 of ~1800 -> gate, measured 3.7 -> 4.5 Mpaths/s);
+    False when the image object dominates and the gate would always fire,
+    paying its reduction+cond for nothing (book2_earth: the globe IS the
+    scene, 32.5 ungated vs 24.5 gated)."""
+    import numpy as np
+
+    tex_kind = np.asarray(scene.tex_kind)
+    mat_tex = np.asarray(scene.mat_tex)
+    img_mat = tex_kind[mat_tex] == TEX_IMAGE
+    sph_img = int(np.sum((np.asarray(scene.sph_mask) > 0)
+                         & img_mat[np.asarray(scene.sph_mat)]))
+    total = int(sum(float(np.asarray(m).sum()) for m in (
+        scene.sph_mask, scene.quad_mask, scene.box_mask,
+        scene.msph_mask, scene.mbox_mask)))
+    return total > 8 * max(sph_img, 1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
@@ -184,12 +205,12 @@ def _slot_pixels(width: int, height: int, tile_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "stratified",
-                     "sqrt_spp", "statics"),
+                     "sqrt_spp", "statics", "gate_texels"),
 )
 def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
                     sample_offset, *, spp: int, max_depth: int, rows: int,
                     tile_rows: int, stratified: bool, sqrt_spp: int,
-                    statics: tuple):
+                    statics: tuple, gate_texels: bool = True):
     """Persistent-lane wavefront pass with SAMPLE RESPAWN: every lane owns
     one pixel slot and walks through its ``spp`` samples back-to-back — the
     moment a path dies (absorbed, missed, RR-killed, depth-exhausted) the
@@ -273,20 +294,37 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
             # emitted (sphere.rs:47-53) — exact, in XLA where acos/atan2
             # are native.
             nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
-            pi_ = jnp.float32(jnp.pi)
-            th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
-            ph_ = jnp.arctan2(-nz_, nx_) + pi_
-            pu = ph_ * (0.5 / pi_)
-            pv = th_ * (1.0 / pi_)
-            img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
-                              0, scene.images.shape[0] - 1)
-            texel = jnp.moveaxis(
-                image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
-            mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
-            add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
-                   * st2[7:10])
-            st2 = st2.at[7:10].multiply(mul)
-            st2 = st2.at[10:13].add(add)
+
+            def _resolve(st2_):
+                pi_ = jnp.float32(jnp.pi)
+                th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
+                ph_ = jnp.arctan2(-nz_, nx_) + pi_
+                pu = ph_ * (0.5 / pi_)
+                pv = th_ * (1.0 / pi_)
+                img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
+                                  0, scene.images.shape[0] - 1)
+                texel = jnp.moveaxis(
+                    image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
+                mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
+                add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
+                       * st2_[7:10])
+                st2_ = st2_.at[7:10].multiply(mul)
+                return st2_.at[10:13].add(add)
+
+            if gate_texels:
+                # segments where NO lane hit an image sphere skip the
+                # R-lane texel gather outright — it is the single most
+                # expensive XLA op in the segment loop.  Static per-scene
+                # choice (see render_pass_wavefront): when image spheres
+                # are a sliver of the scene (book2_final: 1 of ~1800
+                # primitives) most segments skip and the gate wins
+                # (measured 3.7 -> 4.5 Mpaths/s); when they dominate
+                # (book2_earth IS the globe) the gate always fires and
+                # its reduction+cond overhead only costs (32.5 -> 24.5).
+                st2 = jax.lax.cond(jnp.max(jnp.abs(flag)) > 0.0,
+                                   _resolve, lambda s: s, st2)
+            else:
+                st2 = _resolve(st2)
         # bank radiance of paths that died THIS segment, then respawn the
         # lane's next sample (if any remain) in place
         fin = (st[13] > 0.0) & (st2[13] <= 0.0)
@@ -341,5 +379,6 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         scene, arrays, cam, key, px, py,
         jnp.asarray(sample_offset, jnp.int32),
         spp=spp, max_depth=max_depth, rows=rows, tile_rows=tile_rows,
-        stratified=stratified, sqrt_spp=sqrt_spp, statics=seg_statics)
+        stratified=stratified, sqrt_spp=sqrt_spp, statics=seg_statics,
+        gate_texels=texel_gate_heuristic(scene))
     return accum[_unswizzle_index(width, height)].reshape(height, width, 3)

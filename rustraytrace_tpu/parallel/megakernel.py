@@ -188,8 +188,10 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     """
     from ..ops.pallas_megakernel import (TILE_ROWS, _unswizzle_index,
                                          prepare_megakernel)
-    from ..ops.pallas_wavefront import _slot_pixels, _wavefront_pass
+    from ..ops.pallas_wavefront import (_slot_pixels, _wavefront_pass,
+                                        texel_gate_heuristic)
 
+    gate_texels = texel_gate_heuristic(scene)
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
     tile_rows = TILE_ROWS
@@ -212,7 +214,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
             scene_, arrays_, cfg_cam, key, px_, py_, off,
             spp=spp_local, max_depth=max_depth, rows=rows,
             tile_rows=tile_rows, stratified=stratified, sqrt_spp=sqrt_spp,
-            statics=seg_statics)
+            statics=seg_statics, gate_texels=gate_texels)
         return acc[unswz].reshape(height, width, 3)
 
     return sharded_megakernel_wiring(

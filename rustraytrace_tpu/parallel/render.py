@@ -156,7 +156,14 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
 
     if backend == "auto":
         if megakernel_shard_eligible(scene, integrator, mesh):
-            backend = "megakernel"
+            # same open-vs-enclosed split as render.resolve_backend: open
+            # backgrounds make per-lane path lengths ragged, which the
+            # respawn wavefront absorbs; enclosed scenes keep the
+            # monolithic megakernel (measured crossover in its docstring)
+            open_bg = cfg.background is None or (
+                float(np.max(np.asarray(cfg.background))) > 0.0)
+            backend = ("wavefront"
+                       if integrator == "path" and open_bg else "megakernel")
         elif wavefront_shard_eligible(scene, integrator, mesh):
             backend = "wavefront"
         else:

@@ -180,8 +180,22 @@ def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
     return (np.clip(img, 0.0, 0.999) * 256.0).astype(np.uint8)
 
 
-def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str:
-    """'auto' picks the Pallas sphere kernel when the scene qualifies."""
+def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
+                    background="unspecified") -> str:
+    """'auto' picks the fastest eligible Pallas path for the scene.
+
+    ``background`` (``cfg.background``: None = book-1 sky gradient, a color
+    tuple otherwise) refines the choice between the two TPU kernels for
+    non-image scenes. Measured on the v5e (Mpaths/s, megakernel vs respawn
+    wavefront): OPEN scenes — where escaping rays make per-lane path lengths
+    ragged, which the wavefront's in-place sample respawn absorbs — favor
+    the wavefront (flagship d50 14.7 vs 23.7, bouncing d50 7.2 vs 11.8,
+    quads d10 43.4 vs 52.4), while ENCLOSED scenes (black background: every
+    path runs until absorption, so lane lifetimes are uniform and the
+    monolithic in-kernel bounce loop avoids per-segment HBM state traffic)
+    favor the megakernel (cornell d20 28.0 vs 18.8; smoke 37.1 vs 36.5).
+    When ``background`` is not supplied the enclosed-scene default
+    (megakernel) is kept."""
     if backend != "auto":
         return backend
     from .ops.pallas_hit import sphere_kernel_eligible
@@ -189,10 +203,16 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
     from .ops.pallas_wavefront import wavefront_eligible
 
     on_tpu = jax.default_backend() == "tpu"
+    if background is None:  # book-1 sky gradient
+        open_bg = True
+    elif isinstance(background, str):  # "unspecified": caller has no cfg
+        open_bg = False
+    else:
+        open_bg = float(np.max(np.asarray(background))) > 0.0
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
     # the closest-hit kernel runs everywhere (interpret mode on CPU)
     if integrator == "path" and on_tpu and megakernel_eligible(scene):
-        return "megakernel"
+        return "wavefront" if open_bg else "megakernel"
     if integrator == "mis" and on_tpu and megakernel_mis_eligible(scene):
         return "megakernel"
     # image-textured scenes: the segmented wavefront kernel with XLA texel
@@ -213,7 +233,8 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
     Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
     call resumes accumulation (checkpoint/resume; SURVEY.md §5).
     """
-    backend = resolve_backend(scene, integrator, backend)
+    backend = resolve_backend(scene, integrator, backend,
+                              background=cfg.background)
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
 

@@ -8,7 +8,10 @@ Usage:
 Cases (default: all):
     flagship         book1_random_spheres 1200x675 @64spp d50, auto backend
     flagship_wf      same scene forced through the respawn wavefront path
-    final            book2_final_scene 800x800 @32spp d40 (reference flagship)
+    final            book2_final_scene 800x800 @64spp d40 (reference flagship;
+                     64spp per pass amortizes the respawn tail the way the
+                     reference's 10,000-spp workload does — measured 4.55M
+                     @32spp, 5.2M @64, 5.85M @128)
     earth            book2_earth 800x450 @64spp d50
     cornell_mis      book3_cornell_box 600x600 @64spp d50 (MIS megakernel)
     field10k         sphere_field_10k 1200x675 @64spp d50 (~10k spheres)
@@ -45,8 +48,8 @@ def run_case(name: str) -> dict:
             backend = "wavefront"
     elif name == "final":
         scene, cfg, _ = models.book2_final_scene(
-            dict(image_width=800, samples_per_pixel=32, max_depth=40))
-        integ, spp, depth, backend = "path", 32, 40, "auto"
+            dict(image_width=800, samples_per_pixel=64, max_depth=40))
+        integ, spp, depth, backend = "path", 64, 40, "auto"
     elif name == "earth":
         scene, cfg, _ = models.book2_earth(
             dict(image_width=800, samples_per_pixel=64, max_depth=50))
@@ -65,7 +68,7 @@ def run_case(name: str) -> dict:
     cam = derive_camera(cfg)
     w, h = cfg.image_width, cfg.image_height
     if backend == "auto":
-        backend = resolve_backend(scene, integ)
+        backend = resolve_backend(scene, integ, background=cfg.background)
     key = jax.random.key(0)
 
     if wf_kw:

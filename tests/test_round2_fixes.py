@@ -173,3 +173,54 @@ def test_wavefront_respawn_stratum_wrap():
         np.asarray(s_i), (np.arange(40) % 16 % 4).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(s_j), (np.arange(40) % 16 // 4).astype(np.float32))
+
+
+def test_backend_routing_open_vs_enclosed(monkeypatch):
+    """'auto' routes megakernel-eligible path scenes by background: OPEN
+    scenes (sky gradient / non-black flat color -> ragged per-lane path
+    lengths) take the respawn wavefront, ENCLOSED scenes (black background)
+    keep the monolithic megakernel, and an unspecified background keeps the
+    conservative megakernel default (measured crossover: see
+    render.resolve_backend docstring)."""
+    from rustraytrace_tpu import render as render_mod
+
+    monkeypatch.setattr(render_mod.jax, "default_backend", lambda: "tpu")
+    scene, cfg, _ = models.book1_three_spheres(dict(image_width=16))
+    assert cfg.background is None  # sky gradient
+    assert render_mod.resolve_backend(
+        scene, "path", background=cfg.background) == "wavefront"
+    assert render_mod.resolve_backend(
+        scene, "path", background=(0.7, 0.8, 1.0)) == "wavefront"
+    assert render_mod.resolve_backend(
+        scene, "path", background=(0.0, 0.0, 0.0)) == "megakernel"
+    assert render_mod.resolve_backend(scene, "path") == "megakernel"
+    # explicit backend always wins
+    assert render_mod.resolve_backend(
+        scene, "path", backend="xla", background=None) == "xla"
+
+
+def test_batab_rows_match_kernel_fetch_for_image_scenes():
+    """A scene with boxes + an image texture but NO checker/noise must pack
+    the full 17-row box-attribute table: the kernel's has_tex predicate
+    includes 'image', so it fetches batab rows 12-16 (found by an ablation
+    crash: 12-row batab + has_tex kernel -> out-of-bounds slab slice)."""
+    import numpy as np
+
+    from rustraytrace_tpu import RenderConfig, SceneBuilder
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.models.scenes import _finish
+    from rustraytrace_tpu.ops.pallas_megakernel import prepare_megakernel
+
+    b = SceneBuilder()
+    b.add_box((0, 0, 0), (1, 1, 1), b.lambertian((0.5, 0.5, 0.5)))
+    img = np.full((4, 8, 3), 0.5, np.float32)
+    b.add_sphere((0, 3, 0), 1.0, b.lambertian(tex=b.image_texture(img)))
+    cfg = RenderConfig(image_width=16, samples_per_pixel=1, max_depth=2,
+                       background=(0.7, 0.8, 1.0))
+    scene, cfg, _ = _finish(b, cfg, "path", None)
+    cam = derive_camera(cfg)
+    arrays, statics = prepare_megakernel(
+        scene, cam, width=16, height=9, spp=1, max_depth=2,
+        tile_rows=8, interpret=True, segment=True)
+    assert statics["has_image"] and statics["n_boxes"] == 1
+    assert arrays["batab"].shape[0] == 17 * statics["b_slabs"]
