@@ -55,7 +55,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None,
                    help="resume accumulation from a checkpoint .npz")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug-mode", choices=["gradient", "param"],
+                   default=None,
+                   help="plumbing sanity renders matching the reference's "
+                        "compile-time DEBUG_GRADIENT / DEBUG_PARAM WGSL "
+                        "switches (gpu/renderer.wgsl:48-49,258-278): "
+                        "'gradient' shades each pixel with the sky gradient "
+                        "of its primary ray (camera/ray-gen check), 'param' "
+                        "fills a flat width/height-derived color")
     return p
+
+
+def debug_render(cfg, mode: str):
+    """The reference's WGSL debug modes as one-shot XLA renders.
+
+    gradient (renderer.wgsl:258-269): center-of-pixel primary ray, sky
+    gradient of its unit direction.  param (renderer.wgsl:271-277):
+    constant (width/1024, height/1024, 0) fill.  Both return u8 [H,W,3]
+    without gamma (the reference writes the raw accumulated color)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import derive_camera
+
+    h, w = cfg.image_height, cfg.image_width
+    if mode == "param":
+        color = np.clip([w / 1024.0, h / 1024.0, 0.0], 0.0, 1.0)
+        img = np.broadcast_to(color, (h, w, 3))
+    else:
+        from .camera import generate_rays
+
+        cam = derive_camera(cfg)
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = jnp.asarray(xx.reshape(-1), jnp.float32)
+        py = jnp.asarray(yy.reshape(-1), jnp.float32)
+        # center-of-pixel, no jitter/defocus: zero draws except the 0.5
+        # pixel offset handled by generate_rays' jitter argument
+        draws = jnp.full((h * w, 5), 0.5, jnp.float32)
+        _, d, _ = generate_rays(cam, px, py, draws, None)
+        unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t = 0.5 * (unit[:, 1] + 1.0)
+        sky = ((1.0 - t)[:, None] * jnp.ones(3)
+               + t[:, None] * jnp.asarray([0.5, 0.7, 1.0]))
+        img = np.asarray(sky).reshape(h, w, 3)
+    return (np.clip(img, 0.0, 0.999) * 256).astype(np.uint8)
 
 
 def main(argv=None) -> int:
@@ -84,6 +127,11 @@ def main(argv=None) -> int:
         print(f"unknown scene {args.scene!r}; available: "
               + ", ".join(sorted(models.SCENES)), file=sys.stderr)
         return 2
+
+    if args.debug_mode:
+        img = debug_render(cfg, args.debug_mode)
+        image_io.write_image(img, args.output)
+        return 0
 
     accum_state = None
     if args.resume:

@@ -82,3 +82,27 @@ def test_checkpoint_fingerprint_mismatch(tmp_path):
     other_cfg = cfg.replace(samples_per_pixel=4)
     with pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(str(ck), other_cfg, scene)
+
+
+def test_debug_modes(tmp_path):
+    """--debug-mode matches the reference's WGSL DEBUG_GRADIENT /
+    DEBUG_PARAM sanity renders (gpu/renderer.wgsl:48-49,258-278)."""
+    import numpy as np
+
+    from rustraytrace_tpu.cli import main
+
+    out = tmp_path / "dbg.png"
+    assert main(["book1_three_spheres", "--width", "64", "--debug-mode",
+                 "param", "-o", str(out), "--quiet"]) == 0
+    from PIL import Image
+    a = np.asarray(Image.open(out))
+    # flat (width/1024, height/1024, 0) fill
+    assert (a == a[0, 0]).all() and a[0, 0, 2] == 0
+    assert abs(int(a[0, 0, 0]) - int(64 / 1024.0 * 256)) <= 1
+
+    assert main(["book1_three_spheres", "--width", "64", "--debug-mode",
+                 "gradient", "-o", str(out), "--quiet"]) == 0
+    g = np.asarray(Image.open(out)).astype(np.int32)
+    # sky gradient: blue channel dominates everywhere, brighter at bottom
+    assert (g[..., 2] >= g[..., 0]).all()
+    assert g[-1].mean() > g[0].mean()
