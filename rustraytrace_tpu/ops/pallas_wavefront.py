@@ -356,15 +356,37 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
     return accum.reshape(3, R).T  # [R, 3] radiance sums
 
 
+def wavefront_tile_rows(scene: Scene) -> int:
+    """Scene-adaptive segment tile height (v5e sweep, 64spp d50 per-pass):
+    big tiles amortize per-tile loop overhead, small tiles tighten the
+    cluster-cull frustum — the crossover tracks primitive count.
+    book2_earth (1 sphere): 32.7/37.3/42.6/35.9 Mpaths/s at 32/64/128/256;
+    flagship (489): 22.4/25.7/24.4/23.1 at 32/64/96/128; book2_final
+    (~1800): 5.41/5.46/4.77 at 32/64/128; sphere_field_10k (10k):
+    8.02/7.67 at 32/64."""
+    import numpy as np
+
+    n = int(sum(float(np.asarray(m).sum()) for m in (
+        scene.sph_mask, scene.quad_mask, scene.box_mask,
+        scene.msph_mask, scene.mbox_mask)))
+    if n <= 4:
+        return 128
+    if n <= 4000:
+        return 64
+    return 32
+
+
 def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                           spp: int, max_depth: int, sample_offset=0,
                           stratified: bool = False, sqrt_spp: int = 0,
-                          tile_rows: int = TILE_ROWS,
+                          tile_rows: int | None = None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """Whole-image wavefront render pass; returns the radiance SUM [H, W, 3]
     (the same contract as render.render_pass)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tile_rows is None:
+        tile_rows = wavefront_tile_rows(scene)
     arrays, statics = prepare_megakernel(
         scene, cam, width=width, height=height, spp=1, max_depth=max_depth,
         tile_rows=tile_rows, interpret=interpret, segment=True)

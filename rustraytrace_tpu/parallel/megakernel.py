@@ -186,15 +186,15 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     samples a 1-chip render would — the shard layout only changes who traces
     them.
     """
-    from ..ops.pallas_megakernel import (TILE_ROWS, _unswizzle_index,
-                                         prepare_megakernel)
+    from ..ops.pallas_megakernel import _unswizzle_index, prepare_megakernel
     from ..ops.pallas_wavefront import (_slot_pixels, _wavefront_pass,
-                                        texel_gate_heuristic)
+                                        texel_gate_heuristic,
+                                        wavefront_tile_rows)
 
     gate_texels = texel_gate_heuristic(scene)
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
-    tile_rows = TILE_ROWS
+    tile_rows = wavefront_tile_rows(scene)
     arrays, statics = prepare_megakernel(
         scene, cfg_cam, width=width, height=height, spp=1,
         max_depth=max_depth, tile_rows=tile_rows, interpret=False,

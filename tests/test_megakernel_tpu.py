@@ -182,3 +182,31 @@ def test_megakernel_superclusters_match_xla():
     assert np.all(np.isfinite(img_m))
     m_m, m_x = img_m.mean(), img_x.mean()
     assert abs(m_m - m_x) < 0.01 + 0.02 * m_x, (m_m, m_x)
+
+
+def test_wavefront_respawn_sample_accounting_exact():
+    """Sharp exactness check of the respawn bookkeeping: in a scene where
+    every camera ray misses (one sphere far behind the camera, flat
+    background), every sample contributes exactly bg, so each pixel's
+    radiance SUM must equal spp * bg bit-exactly.  Catches lost samples,
+    double-banked deaths, or respawn over/under-run — none of which the
+    statistical mean tests would pin this tightly."""
+    from rustraytrace_tpu import RenderConfig, SceneBuilder
+    from rustraytrace_tpu.models.scenes import _finish
+    from rustraytrace_tpu.ops.pallas_wavefront import render_pass_wavefront
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 1000.0), 1.0, b.lambertian((0.5, 0.5, 0.5)))
+    cfg = RenderConfig(image_width=64, samples_per_pixel=32, max_depth=8,
+                       background=(0.25, 0.5, 0.75),
+                       lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0))
+    scene, cfg, _ = _finish(b, cfg, "path", None)
+    cam = derive_camera(cfg)
+    h, w, spp = cfg.image_height, cfg.image_width, 32
+    acc = np.asarray(render_pass_wavefront(
+        scene, cam, jax.random.key(3), width=w, height=h, spp=spp,
+        max_depth=8))
+    expect = np.broadcast_to(
+        np.float32(spp) * np.asarray([0.25, 0.5, 0.75], np.float32),
+        (h, w, 3))
+    np.testing.assert_array_equal(acc, expect)
