@@ -1468,17 +1468,22 @@ _slot_cache: dict = {}
 
 
 def _unswizzle_index(width: int, height: int):
-    """[H*W] slot index of each pixel under the 32x32 block swizzle."""
+    """[H*W] slot index of each pixel under the 32x32 block swizzle.
+
+    The cache holds NUMPY (not jnp) arrays: a jnp constant created while a
+    shard_map trace is active is a ShardMapTracer, and caching it poisons
+    every later call outside that trace (found by a sharded-then-single
+    TPU test).  jnp.asarray at use time folds to the same constant."""
+    import numpy as np
+
     key = (width, height)
     if key not in _slot_cache:
-        import numpy as np
-
         tiles_x = -(-width // _BLK)
         py, px = np.mgrid[0:height, 0:width]
         slot = (((py // _BLK) * tiles_x + px // _BLK) * (_BLK * _BLK)
                 + (py % _BLK) * _BLK + (px % _BLK))
-        _slot_cache[key] = jnp.asarray(slot.reshape(-1), jnp.int32)
-    return _slot_cache[key]
+        _slot_cache[key] = slot.reshape(-1).astype(np.int32)
+    return jnp.asarray(_slot_cache[key])
 
 
 def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,

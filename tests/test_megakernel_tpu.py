@@ -210,3 +210,40 @@ def test_wavefront_respawn_sample_accounting_exact():
         np.float32(spp) * np.asarray([0.25, 0.5, 0.75], np.float32),
         (h, w, 3))
     np.testing.assert_array_equal(acc, expect)
+
+
+def test_sharded_megakernel_matches_single_chip_mean():
+    """VERDICT r1 item 4: spp-sharded Pallas dispatch on a REAL TPU mesh
+    (1 device here — the wiring is device-count-generic) agrees with the
+    single-chip pass.  The megakernel branch uses device-distinct sample
+    offsets + psum; the wavefront branch additionally exercises the
+    sharded segmented loop on an image scene."""
+    from rustraytrace_tpu.parallel import make_mesh
+    from rustraytrace_tpu.parallel.megakernel import (
+        render_pass_megakernel_sharded, render_pass_wavefront_sharded)
+
+    mesh = make_mesh()
+
+    scene, cfg, _ = models.book2_cornell_box(dict(image_width=96))
+    cam = derive_camera(cfg)
+    kw = dict(width=96, height=96, spp=64, max_depth=10)
+    acc_sh = np.asarray(render_pass_megakernel_sharded(
+        scene, cam, jax.random.key(5), mesh=mesh, **kw)) / 64
+    acc_1 = np.asarray(render_pass(
+        scene, cam, jax.random.key(6), integrator="path",
+        backend="megakernel", chunk=96 * 96, stratified=False,
+        sqrt_spp=0, **kw)) / 64
+    assert np.all(np.isfinite(acc_sh))
+    assert abs(acc_sh.mean() - acc_1.mean()) < 0.01 + 0.02 * acc_1.mean()
+
+    scene, cfg, _ = models.book2_earth(dict(image_width=96))
+    cam = derive_camera(cfg)
+    kw = dict(width=96, height=54, spp=64, max_depth=8)
+    acc_sh = np.asarray(render_pass_wavefront_sharded(
+        scene, cam, jax.random.key(7), mesh=mesh, **kw)) / 64
+    acc_1 = np.asarray(render_pass(
+        scene, cam, jax.random.key(8), integrator="path",
+        backend="wavefront", chunk=96 * 54, stratified=False,
+        sqrt_spp=0, **kw)) / 64
+    assert np.all(np.isfinite(acc_sh))
+    assert abs(acc_sh.mean() - acc_1.mean()) < 0.01 + 0.03 * acc_1.mean()
