@@ -348,7 +348,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  n_media: int = 0, has_noise: bool = False,
                  n_slabs: int = 4, n_boxes: int = 0, n_bclusters: int = 0,
                  b_slabs: int = 1, n_sclusters: int = 0,
-                 segment: bool = False, has_image: bool = False):
+                 segment: bool = False, has_image: bool = False,
+                 respawn: bool = False):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -356,6 +357,15 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
     bounces; see ops/pallas_wavefront.py).  Both modes share every inner
     closure (intersect, shading, RR), so estimator semantics are identical
     by construction.
+
+    ``respawn`` (monolithic only): replace the sequential
+    ``fori(spp){while(bounce)}`` with ONE persistent while_loop in which
+    every lane walks its own ``spp`` samples back-to-back, respawning its
+    next camera ray the moment its path dies.  This is the fully-in-kernel
+    version of the wavefront driver's sample respawn
+    (pallas_wavefront.py): same dead-lane economics, but with zero
+    per-segment HBM state traffic and no XLA spawn work.  Non-image
+    scenes only (image texels still need the segment loop's XLA resolve).
 
     ``has_image`` (segment mode only): image-textured sphere hits get unit
     albedo in-kernel and emit a pending record (outward normal,
@@ -1331,23 +1341,19 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
             return
 
-        def cond(state):
-            b = state[0]
-            alive = state[14]
-            return (b < max_depth) & (jnp.sum(alive) > 0.0)
-
-        def one_sample(s, accum):
-            sx, sy, sz = accum
-            # camera ray (Camera::get_ray, camera.rs:152-180): jittered
-            # sub-pixel sample + optional defocus-disk origin; time in [0,1)
+        def spawn_rays(s_abs):
+            """Camera ray per lane from its absolute sample index s_abs [f32]
+            (Camera::get_ray, camera.rs:152-180).  Shared by the respawn
+            loop; stratified strata wrap to the sqrt_spp^2 grid so
+            shard-padded extras stay inside the pixel footprint."""
             u1 = _uniform(shape)
             u2 = _uniform(shape)
             if stratified:
-                # sqrt_spp x sqrt_spp sub-pixel grid indexed by the absolute
-                # sample id (the_rest_of_your_life/camera.rs:114-116,173-177)
-                s_abs = s + seed_ref[1]
-                s_i = (s_abs % sqrt_spp).astype(_F32)
-                s_j = (s_abs // sqrt_spp).astype(_F32)
+                n2 = float(sqrt_spp * sqrt_spp)
+                s_w = s_abs - n2 * jnp.floor(s_abs * (1.0 / n2))
+                s_i = s_w - float(sqrt_spp) * jnp.floor(
+                    s_w * (1.0 / sqrt_spp))
+                s_j = jnp.floor(s_w * (1.0 / sqrt_spp))
                 recip = 1.0 / sqrt_spp
                 jx = px + ((s_i + u1) * recip - 0.5)
                 jy = py + ((s_j + u2) * recip - 0.5)
@@ -1372,11 +1378,74 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 oy0 = cam_ref[1] + zeros
                 oz0 = cam_ref[2] + zeros
             tm = _uniform(shape) if moving else zeros
+            return tm, ox0, oy0, oz0, psx - ox0, psy - oy0, psz - oz0
+
+        if respawn:
+            # ---- PERSISTENT RESPAWN MODE ----
+            # state: 0 per-lane bounce count, 1-14 = bounce_body state,
+            # 15 done-sample count, 16-18 banked radiance sums
+            off = jnp.asarray(seed_ref[1], _F32)
+
+            def rcond(st):
+                return jnp.max(st[14]) > 0.0  # any lane mid-path
+
+            def rbody(st):
+                (b2, tm2, ox2, oy2, oz2, dx2, dy2, dz2,
+                 ax2, ay2, az2, rx2, ry2, rz2, alive2) = bounce_body(
+                    st[:15])
+                done, sx, sy, sz = st[15], st[16], st[17], st[18]
+                # per-lane depth exhaustion (ray_color's depth<=0 base
+                # case, camera.rs:186-187)
+                alive2 = jnp.where(b2 < float(max_depth), alive2, 0.0)
+                fin = (st[14] > 0.0) & (alive2 <= 0.0)
+                sx = sx + jnp.where(fin, rx2, 0.0)
+                sy = sy + jnp.where(fin, ry2, 0.0)
+                sz = sz + jnp.where(fin, rz2, 0.0)
+                done = done + jnp.where(fin, 1.0, 0.0)
+                live_next = fin & (done < float(spp))
+                tmN, oxN, oyN, ozN, dxN, dyN, dzN = spawn_rays(done + off)
+
+                def sel(n, o):
+                    return jnp.where(live_next, n, o)
+
+                finz = jnp.where(fin, 0.0, 1.0)
+                return (jnp.where(live_next, 0.0, b2),
+                        sel(tmN, tm2), sel(oxN, ox2), sel(oyN, oy2),
+                        sel(ozN, oz2),
+                        sel(dxN, dx2), sel(dyN, dy2), sel(dzN, dz2),
+                        sel(ones, ax2), sel(ones, ay2), sel(ones, az2),
+                        rx2 * finz, ry2 * finz, rz2 * finz,
+                        jnp.where(live_next, 1.0, alive2),
+                        done, sx, sy, sz)
+
+            tm0, ox0, oy0, oz0, dx0, dy0, dz0 = spawn_rays(zeros + off)
+            init = (zeros, tm0, ox0, oy0, oz0, dx0, dy0, dz0,
+                    ones, ones, ones, zeros, zeros, zeros, ones,
+                    zeros, zeros, zeros, zeros)
+            final = jax.lax.while_loop(rcond, rbody, init)
+            rx_ref[:] = final[16]
+            ry_ref[:] = final[17]
+            rz_ref[:] = final[18]
+            return
+
+        def cond(state):
+            b = state[0]
+            alive = state[14]
+            return (b < max_depth) & (jnp.sum(alive) > 0.0)
+
+        def one_sample(s, accum):
+            sx, sy, sz = accum
+            # camera ray (Camera::get_ray, camera.rs:152-180): jittered
+            # sub-pixel sample + optional defocus-disk origin; time in [0,1);
+            # stratified strata index by the absolute sample id
+            # (the_rest_of_your_life/camera.rs:114-116,173-177)
+            tm, ox0, oy0, oz0, rdx, rdy, rdz = spawn_rays(
+                (s + seed_ref[1]).astype(_F32))
 
             init = (
                 jnp.asarray(0, jnp.int32), tm,
                 ox0, oy0, oz0,
-                psx - ox0, psy - oy0, psz - oz0,
+                rdx, rdy, rdz,
                 ones, ones, ones,
                 zeros, zeros, zeros,
                 ones,  # alive mask as f32 (Mosaic while-carry can't hold i1)
@@ -1401,7 +1470,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                      "tile_rows", "has_checker", "mis", "n_lights",
                      "stratified", "sqrt_spp", "n_media", "has_noise",
                      "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
-                     "has_image", "interpret"),
+                     "has_image", "interpret", "respawn"),
 )
 def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     batab, ltab, mtab, ptab, vtab, atab,
@@ -1414,7 +1483,7 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     stratified: bool, sqrt_spp: int, n_media: int,
                     has_noise: bool, n_slabs: int, n_boxes: int,
                     n_bclusters: int, b_slabs: int, has_image: bool,
-                    interpret: bool):
+                    interpret: bool, respawn: bool = False):
     if has_image:
         raise ValueError(
             "image textures require the wavefront segment path "
@@ -1432,7 +1501,7 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                      sky_bg, spp, width, height, defocus, tile_rows,
                      has_checker, mis=mis, n_lights=n_lights,
                      stratified=stratified, sqrt_spp=sqrt_spp,
-                     n_media=n_media, has_noise=has_noise,
+                     n_media=n_media, has_noise=has_noise, respawn=respawn,
                      n_slabs=n_slabs, n_boxes=n_boxes,
                      n_bclusters=n_bclusters, b_slabs=b_slabs,
                      n_sclusters=n_sclusters),
@@ -1490,7 +1559,7 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                        spp: int, max_depth: int, tile_rows: int = TILE_ROWS,
                        mis: bool = False, stratified: bool = False,
                        sqrt_spp: int = 0, interpret: bool | None = None,
-                       segment: bool = False):
+                       segment: bool = False, respawn: bool = False):
     """Host-side half of a megakernel pass: SAH clustering + table packing.
 
     Returns ``(arrays, statics)`` — a dict of device arrays (replicable
@@ -1697,6 +1766,8 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         has_checker="checker" in scene.features, mis=mis, n_lights=n_lights,
         stratified=stratified, sqrt_spp=sqrt_spp, interpret=interpret,
     )
+    if not segment:
+        statics["respawn"] = respawn
     return arrays, statics
 
 
@@ -1726,7 +1797,8 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
                            sample_offset=0, tile_rows: int = TILE_ROWS,
                            mis: bool = False, stratified: bool = False,
                            sqrt_spp: int = 0,
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           interpret: bool | None = None,
+                           respawn: bool = False) -> jnp.ndarray:
     """Whole-image render pass in ONE kernel launch: in-kernel ray
     generation, spp loop, and bounce loop.  Returns the radiance SUM
     [H, W, 3] — the same contract as render.render_pass.
@@ -1739,5 +1811,5 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     arrays, statics = prepare_megakernel(
         scene, cam, width=width, height=height, spp=spp, max_depth=max_depth,
         tile_rows=tile_rows, mis=mis, stratified=stratified,
-        sqrt_spp=sqrt_spp, interpret=interpret)
+        sqrt_spp=sqrt_spp, interpret=interpret, respawn=respawn)
     return megakernel_pass_from_prepared(arrays, statics, key, sample_offset)

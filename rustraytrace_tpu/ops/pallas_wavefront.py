@@ -382,9 +382,23 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                           tile_rows: int | None = None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """Whole-image wavefront render pass; returns the radiance SUM [H, W, 3]
-    (the same contract as render.render_pass)."""
+    (the same contract as render.render_pass).
+
+    Non-image scenes run the PERSISTENT RESPAWN megakernel (the respawn
+    loop fully in-kernel — zero per-segment HBM state traffic); image
+    scenes run the segmented loop below, whose XLA driver resolves the
+    deferred texels between bounces."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if "image" not in scene.features:
+        from .pallas_megakernel import render_pass_megakernel
+
+        return render_pass_megakernel(
+            scene, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, sample_offset=sample_offset,
+            stratified=stratified, sqrt_spp=sqrt_spp,
+            tile_rows=tile_rows if tile_rows is not None else TILE_ROWS,
+            interpret=interpret, respawn=True)
     if tile_rows is None:
         tile_rows = wavefront_tile_rows(scene)
     arrays, statics = prepare_megakernel(
