@@ -72,7 +72,8 @@ def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                    mesh: Mesh, mis: bool = False,
                                    stratified: bool = False,
                                    sqrt_spp: int = 0,
-                                   sample_offset: int = 0) -> jnp.ndarray:
+                                   sample_offset: int = 0,
+                                   respawn: bool = False) -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across every device of the mesh.
 
     Each device traces ``ceil(spp / n_devices)`` samples at a distinct
@@ -87,7 +88,7 @@ def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
     arrays, statics = prepare_megakernel(
         scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, mis=mis, stratified=stratified,
-        sqrt_spp=sqrt_spp)
+        sqrt_spp=sqrt_spp, respawn=respawn)
     offsets = (sample_offset
                + jnp.arange(n, dtype=jnp.int32) * spp_local)
 
@@ -185,11 +186,23 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     fold-in the single-chip path uses), so an N-chip render draws the exact
     samples a 1-chip render would — the shard layout only changes who traces
     them.
+
+    Non-image scenes take the PERSISTENT RESPAWN megakernel per device
+    (pallas_megakernel respawn=True — same dispatch wiring, no segment
+    loop); image scenes run the segmented loop with per-device XLA texel
+    resolve.
     """
     from ..ops.pallas_megakernel import _unswizzle_index, prepare_megakernel
     from ..ops.pallas_wavefront import (_slot_pixels, _wavefront_pass,
                                         texel_gate_heuristic,
                                         wavefront_tile_rows)
+
+    if "image" not in scene.features:
+        return render_pass_megakernel_sharded(
+            scene, cfg_cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, mesh=mesh, mis=False,
+            stratified=stratified, sqrt_spp=sqrt_spp,
+            sample_offset=sample_offset, respawn=True)
 
     gate_texels = texel_gate_heuristic(scene)
     n = int(mesh.devices.size)
