@@ -75,11 +75,18 @@ def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
         mesh: Optional[Mesh] = None, integrator: str = "path",
         spp: int = 4, chunk: int = 65536, progress=None,
         optimizer: Optional[optax.GradientTransformation] = None,
+        checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
+        resume: bool = False,
         ) -> Tuple[Scene, list]:
     """Gradient-descent recovery of scene parameters from a target image.
 
     Returns (fitted scene, per-step loss history). Each step uses a fresh
     RNG key (new MC sample set) — stochastic gradient descent over renders.
+
+    ``checkpoint_dir`` (Orbax layout) persists (step, params, optimizer
+    state, RNG key) every ``checkpoint_every`` steps; ``resume=True``
+    restarts a killed run from it mid-optimization (the train-state analog
+    of the renderer's pass-boundary .npz accumulation checkpoints).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -106,13 +113,30 @@ def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.key(cfg.seed + 1)
+    step0 = 0
+    if checkpoint_dir is not None and resume:
+        import os
+
+        from .utils.checkpoint import load_train_checkpoint
+
+        if os.path.exists(checkpoint_dir):
+            step0, params, opt_state, key = load_train_checkpoint(
+                checkpoint_dir, params_like=params,
+                opt_state_like=opt_state)
     history = []
-    for step in range(steps):
+    for step in range(step0, steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, sub)
         history.append(float(loss))
         if progress is not None:
             progress(step, history[-1])
+        if (checkpoint_dir is not None
+                and (step + 1) % checkpoint_every == 0):
+            from .utils.checkpoint import save_train_checkpoint
+
+            save_train_checkpoint(checkpoint_dir, step=step + 1,
+                                  params=params, opt_state=opt_state,
+                                  key=key)
     return apply_params(scene, params), history
 
 

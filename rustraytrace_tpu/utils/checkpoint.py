@@ -57,3 +57,64 @@ def load_checkpoint(path: str, cfg, scene) -> Optional[dict]:
                 f"(fingerprint {fp}); refusing to resume"
             )
         return {"accum": z["accum"], "spp_done": int(z["spp_done"])}
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state checkpoints (inverse rendering)
+# ---------------------------------------------------------------------------
+
+def save_train_checkpoint(path: str, *, step: int, params, opt_state,
+                          key) -> None:
+    """Orbax checkpoint of a diff.fit train state (params, optimizer state,
+    step, RNG key) for long inverse-rendering runs — the production-grade
+    analog of the render-accumulation .npz above.  ``path`` is a directory
+    (Orbax layout); an existing checkpoint at the path is replaced."""
+    import os
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tree = {"step": jnp.asarray(step, jnp.int32), "params": params,
+            "opt_state": opt_state,
+            "key_data": jax.random.key_data(key)}
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, tree)
+    ck.wait_until_finished()
+
+
+def load_train_checkpoint(path: str, *, params_like, opt_state_like):
+    """Restore a train state saved by :func:`save_train_checkpoint`.
+
+    ``params_like`` / ``opt_state_like`` supply the pytree structure (build
+    them exactly as diff.fit does: extract_params + opt.init) so Orbax
+    restores optimizer NamedTuples instead of raw nests.  Returns
+    ``(step, params, opt_state, key)``."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import orbax.checkpoint as ocp
+
+    like = {"step": jnp.asarray(0, jnp.int32), "params": params_like,
+            "opt_state": opt_state_like,
+            "key_data": jax.random.key_data(jax.random.key(0))}
+    abstract = jtu.tree_map(ocp.utils.to_shape_dtype_struct, like)
+    ck = ocp.StandardCheckpointer()
+    restored = ck.restore(os.path.abspath(path), abstract)
+    # decommit: Orbax pins restored arrays to one device, which a
+    # multi-device shard_map train step then rejects; round-tripping
+    # through host memory yields uncommitted arrays (trees are KBs)
+    import numpy as np
+
+    decommit = lambda t: jtu.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)), t)
+    key = jax.random.wrap_key_data(
+        jnp.asarray(np.asarray(restored["key_data"])))
+    return (int(restored["step"]), decommit(restored["params"]),
+            decommit(restored["opt_state"]), key)

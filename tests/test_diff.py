@@ -156,3 +156,26 @@ def test_make_train_step_runs(mesh):
     params, opt_state, loss = step(params, opt_state, jax.random.key(0))
     assert np.isfinite(float(loss))
     jax.block_until_ready(params)
+
+
+def test_fit_checkpoint_resume(mesh, tmp_path):
+    """Orbax train-state checkpointing: a run checkpointed at step N and
+    resumed produces the same parameters as the uninterrupted run (the
+    optimizer state, RNG key, and step counter all round-trip)."""
+    scene = _lambertian_scene(albedo=(0.3, 0.6, 0.2))
+    target = jnp.zeros((CFG.image_height, CFG.image_width, 3)) + 0.25
+    ckdir = str(tmp_path / "ck")
+    kw = dict(steps=4, learning_rate=5e-2, mesh=mesh, spp=2, chunk=256)
+
+    full, _ = fit(scene, ["tex_color1"], target, CFG, **kw)
+
+    # same run, checkpointed every 2 steps, then killed after step 2 and
+    # resumed: first call runs steps 0-1 (we stop it by asking steps=2)
+    fit(scene, ["tex_color1"], target, CFG, checkpoint_dir=ckdir,
+        checkpoint_every=2, **{**kw, "steps": 2})
+    resumed, _ = fit(scene, ["tex_color1"], target, CFG,
+                     checkpoint_dir=ckdir, checkpoint_every=2,
+                     resume=True, **kw)
+
+    np.testing.assert_allclose(np.asarray(resumed.tex_color1),
+                               np.asarray(full.tex_color1), atol=1e-6)
