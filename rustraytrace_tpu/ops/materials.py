@@ -126,10 +126,28 @@ def scatter(d_in: jnp.ndarray, rec: HitRecord, mat: MatRecord,
     cos_theta = jnp.minimum(jnp.sum(-unit_d * n, axis=-1), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = ri * sin_theta > 1.0
-    reflect_choice = cannot_refract | (schlick(cos_theta, ri) > draws[:, 2])
+    p_reflect = jnp.where(cannot_refract, 1.0, schlick(cos_theta, ri))
+    reflect_choice = p_reflect > draws[:, 2]
     die_dir = jnp.where(
         reflect_choice[:, None], reflect(unit_d, n), refract(unit_d, n, ri[:, None])
     )
+    # attached-ratio weight: the reflect/refract CHOICE is a detached
+    # sampling decision, so plain interior AD drops the d(Schlick)/d(ior)
+    # probability term and the IOR gradient is biased (measured: descent
+    # converged to ~1.65 for a true 1.5).  Multiplying each branch by
+    # p_attached / stop_grad(p) leaves the value exactly 1 but routes the
+    # probability derivative through the throughput — the standard
+    # likelihood-ratio fix for detached discrete choices.  p==1 (TIR)
+    # forces reflect, so the refract denominator is never 0.
+    # p clipped INSIDE the ratio only: the value stays exactly 1 (same p
+    # in numerator and stop_grad denominator) while the gradient factor
+    # 1/(1-p) is bounded — unclipped, grazing hits (p -> 1) produce
+    # heavy-tailed gradients that overflow f32 and NaN the optimizer
+    sg = jax.lax.stop_gradient
+    p_c = jnp.clip(p_reflect, 1e-3, 1.0 - 1e-3)
+    die_w = jnp.where(reflect_choice,
+                      p_c / sg(p_c),
+                      (1.0 - p_c) / sg(1.0 - p_c))
 
     # Emission (DiffuseLight); book-3 front-face gate
     is_light = kind == DIFFUSE_LIGHT
@@ -145,7 +163,7 @@ def scatter(d_in: jnp.ndarray, rec: HitRecord, mat: MatRecord,
     direction = jnp.where(is_met[:, None], met_dir, direction)
     direction = jnp.where(is_die[:, None], die_dir, direction)
 
-    attenuation = jnp.where(is_die[:, None], 1.0, tex)
+    attenuation = jnp.where(is_die[:, None], die_w[:, None], tex)
     scattered = rec.valid & ~is_light
     if metal_absorb:
         scattered = scattered & (~is_met | met_ok)
