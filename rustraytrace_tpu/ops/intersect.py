@@ -200,10 +200,8 @@ def box_outward_normal(o, d, t, lo, hi):
     t1 = jnp.max(tn, axis=-1)
     # entry hit if the chosen t equals the entry time (up to fp noise)
     is_entry = jnp.abs(t - t1) <= 1e-3 * (1.0 + jnp.abs(t1))
-    axis_t = jnp.where(is_entry[:, None], tn, tf)
     # face axis: entry -> argmax of tn; exit -> argmin of tf
     axis = jnp.where(is_entry, jnp.argmax(tn, axis=-1), jnp.argmin(tf, axis=-1))
-    del axis_t
     sgn_d = jnp.where(d >= 0.0, 1.0, -1.0)  # [R,3]
     face_sign = jnp.where(is_entry, -1.0, 1.0)[:, None] * sgn_d
     return face_sign * jax.nn.one_hot(axis, 3, dtype=o.dtype)

@@ -90,6 +90,19 @@ def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
     return True
 
 
+SEG_KEYS = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
+            "has_checker", "n_media", "has_noise", "n_slabs", "n_boxes",
+            "n_bclusters", "b_slabs", "has_image", "interpret")
+
+
+def seg_statics_tuple(statics: dict) -> tuple:
+    """The static-kwargs contract of _wavefront_seg_raw as a hashable
+    tuple — built here (single source of truth) for both the single-chip
+    pass (render_pass_wavefront) and the spp-sharded pass
+    (parallel/megakernel.py)."""
+    return tuple(sorted((k, statics[k]) for k in SEG_KEYS))
+
+
 def texel_gate_heuristic(scene: Scene) -> bool:
     """Static choice for the per-segment texel-resolve gate: True when
     image-textured spheres are a sliver of the scene's primitives, so most
@@ -241,6 +254,14 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
     ones = jnp.ones(shape2, _F32)
     zeros = jnp.zeros(shape2, _F32)
 
+    # fold the pass's sample_offset into EVERY stream: without this, the
+    # multi-pass loop (render_image calls each pass with the same key and
+    # only sample_offset varying) and the spp-sharded per-device offsets
+    # would re-draw identical sample sets — N passes of 16 spp would be N
+    # copies of the same 16 samples (found in round-2 code review; the
+    # megakernel path already folds the offset in
+    # megakernel_pass_from_prepared)
+    key = jax.random.fold_in(key, sample_offset)
     k_cam = jax.random.fold_in(key, 0x0CAF)
     seed_base = jax.random.key_data(
         jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
@@ -284,8 +305,7 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
         ).astype(jnp.int32)
         st2, pend = _wavefront_seg_raw(
             *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
-            max_depth=max_depth, **{k: v for k, v in stat.items()
-                                    if k not in ("max_depth",)})
+            max_depth=max_depth, **stat)
         if has_image:
             # resolve deferred texels: +flag multiplies the attenuation,
             # -flag adds light emission (atten unchanged by the kernel
@@ -405,11 +425,7 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         scene, cam, width=width, height=height, spp=1, max_depth=max_depth,
         tile_rows=tile_rows, interpret=interpret, segment=True)
     px, py, rows = _slot_pixels(width, height, tile_rows)
-    seg_keys = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
-                "has_checker",
-                "n_media", "has_noise", "n_slabs", "n_boxes", "n_bclusters",
-                "b_slabs", "has_image", "interpret")
-    seg_statics = tuple(sorted((k, statics[k]) for k in seg_keys))
+    seg_statics = seg_statics_tuple(statics)
     key = jax.random.fold_in(key, 0x5EED)  # disjoint from megakernel streams
     accum = _wavefront_pass(
         scene, arrays, cam, key, px, py,

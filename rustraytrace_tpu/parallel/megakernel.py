@@ -182,10 +182,13 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     once, per-device segmented bounce loops at device-distinct sample
     offsets, psum'd radiance sum [H, W, 3] (replicated).
 
-    Per-sample RNG streams are keyed by the ABSOLUTE sample index (the same
-    fold-in the single-chip path uses), so an N-chip render draws the exact
-    samples a 1-chip render would — the shard layout only changes who traces
-    them.
+    Each device folds its distinct sample offset into the pass key
+    (exactly as the single-chip pass loop folds its per-pass offset), so
+    device streams are disjoint and the psum is a true variance-reducing
+    average of independent sample sets.  Unlike the pixel-sharded XLA
+    path, the render is equal to a single-chip render in DISTRIBUTION,
+    not bit-identical (segment streams are keyed per (offset, segment),
+    not per absolute sample).
 
     Non-image scenes take the PERSISTENT RESPAWN megakernel per device
     (pallas_megakernel respawn=True — same dispatch wiring, no segment
@@ -194,6 +197,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     """
     from ..ops.pallas_megakernel import _unswizzle_index, prepare_megakernel
     from ..ops.pallas_wavefront import (_slot_pixels, _wavefront_pass,
+                                        seg_statics_tuple,
                                         texel_gate_heuristic,
                                         wavefront_tile_rows)
 
@@ -213,10 +217,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
         max_depth=max_depth, tile_rows=tile_rows, interpret=False,
         segment=True)
     px, py, rows = _slot_pixels(width, height, tile_rows)
-    seg_keys = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
-                "has_checker", "n_media", "has_noise", "n_slabs", "n_boxes",
-                "n_bclusters", "b_slabs", "has_image", "interpret")
-    seg_statics = tuple(sorted((k, statics[k]) for k in seg_keys))
+    seg_statics = seg_statics_tuple(statics)
     key = jax.random.fold_in(key, 0x5EED)  # match render_pass_wavefront
     offsets = sample_offset + jnp.arange(n, dtype=jnp.int32) * spp_local
     unswz = _unswizzle_index(width, height)

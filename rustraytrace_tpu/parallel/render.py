@@ -172,6 +172,11 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
         raise ValueError(
             f"sharded rendering supports backends 'auto', 'xla', "
             f"'megakernel', 'wavefront'; got {backend!r}")
+    if backend == "wavefront" and integrator != "path":
+        raise ValueError(
+            "backend='wavefront' supports only the 'path' integrator "
+            "(the segment/respawn kernels run without NEE/MIS); use "
+            "'megakernel' or 'xla' for integrator=" + repr(integrator))
     if backend in ("megakernel", "wavefront"):
         from .megakernel import render_image_sharded_megakernel
 

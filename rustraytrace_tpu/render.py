@@ -104,6 +104,13 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
             sqrt_spp=sqrt_spp,
         )
     if backend == "wavefront":
+        if integrator != "path":
+            # the segment/respawn kernels run mis=False; silently rendering
+            # book 3 with the plain-path estimator would change semantics
+            raise ValueError(
+                "backend='wavefront' supports only the 'path' integrator; "
+                "use 'megakernel' (in-kernel NEE/MIS) or 'xla' for "
+                f"integrator={integrator!r}")
         from .ops.pallas_wavefront import render_pass_wavefront
 
         return render_pass_wavefront(

@@ -78,6 +78,16 @@ def save_train_checkpoint(path: str, *, step: int, params, opt_state,
 
     path = os.path.abspath(path)
     if os.path.exists(path):
+        # replace ONLY something that is a checkpoint (Orbax writes
+        # _CHECKPOINT_METADATA) or an empty directory — never rmtree an
+        # arbitrary user path (a typo'd checkpoint_dir pointed at real
+        # data would otherwise destroy it on the first checkpoint)
+        is_ckpt = os.path.exists(
+            os.path.join(path, "_CHECKPOINT_METADATA"))
+        if not is_ckpt and (not os.path.isdir(path) or os.listdir(path)):
+            raise ValueError(
+                f"refusing to overwrite {path!r}: it exists but is not an "
+                "Orbax checkpoint written by save_train_checkpoint")
         shutil.rmtree(path)
     tree = {"step": jnp.asarray(step, jnp.int32), "params": params,
             "opt_state": opt_state,

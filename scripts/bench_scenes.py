@@ -38,7 +38,6 @@ def run_case(name: str) -> dict:
     from rustraytrace_tpu.config import derive_camera
     from rustraytrace_tpu.render import render_pass, resolve_backend
 
-    wf_kw = {}
     if name.startswith("flagship"):
         scene, cfg, _ = models.book1_random_spheres(
             dict(image_width=1200, samples_per_pixel=64, max_depth=50))
@@ -71,19 +70,11 @@ def run_case(name: str) -> dict:
         backend = resolve_backend(scene, integ, background=cfg.background)
     key = jax.random.key(0)
 
-    if wf_kw:
-        from rustraytrace_tpu.ops.pallas_wavefront import render_pass_wavefront
-
-        def go():
-            return render_pass_wavefront(
-                scene, cam, key, width=w, height=h, spp=spp,
-                max_depth=depth, **wf_kw)
-    else:
-        def go():
-            return render_pass(
-                scene, cam, key, width=w, height=h, spp=spp,
-                max_depth=depth, integrator=integ, chunk=min(131072, w * h),
-                backend=backend)
+    def go():
+        return render_pass(
+            scene, cam, key, width=w, height=h, spp=spp,
+            max_depth=depth, integrator=integ, chunk=min(131072, w * h),
+            backend=backend)
 
     for attempt in range(3):
         try:

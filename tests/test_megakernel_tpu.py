@@ -247,3 +247,26 @@ def test_sharded_megakernel_matches_single_chip_mean():
         sqrt_spp=0, **kw)) / 64
     assert np.all(np.isfinite(acc_sh))
     assert abs(acc_sh.mean() - acc_1.mean()) < 0.01 + 0.03 * acc_1.mean()
+
+
+def test_wavefront_pass_streams_differ_by_offset():
+    """Round-2 review regression: the segmented wavefront pass must fold
+    sample_offset into its RNG streams — without it, render_image's pass
+    loop (same key, varying offset) re-traced IDENTICAL sample sets every
+    pass, silently selling 16-spp noise as N*16 spp."""
+    from rustraytrace_tpu.ops.pallas_wavefront import render_pass_wavefront
+
+    scene, cfg, _ = models.book2_earth(dict(image_width=64))
+    cam = derive_camera(cfg)
+    kw = dict(width=64, height=36, spp=8, max_depth=5)
+    key = jax.random.key(4)
+    a0 = np.asarray(render_pass_wavefront(scene, cam, key,
+                                          sample_offset=0, **kw))
+    a1 = np.asarray(render_pass_wavefront(scene, cam, key,
+                                          sample_offset=8, **kw))
+    assert np.isfinite(a0).all() and np.isfinite(a1).all()
+    assert not np.array_equal(a0, a1)
+    # ... and the same offset reproduces the same draws (determinism)
+    a0b = np.asarray(render_pass_wavefront(scene, cam, key,
+                                           sample_offset=0, **kw))
+    np.testing.assert_array_equal(a0, a0b)
