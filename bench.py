@@ -26,6 +26,27 @@ import time
 BASELINE_PATHS_PER_SEC = 1.0e6
 
 
+def warmup_with_retries(fn, attempts: int = 3, sleep_s: float = 20.0,
+                        _sleep=time.sleep):
+    """Run ``fn`` until it succeeds, retrying device-layer crashes.
+
+    The axon tunnel's first execution sometimes surfaces as a worker
+    crash + recovery (see module notes); this absorbs up to
+    ``attempts - 1`` failures, sleeping between tries, and re-raises the
+    last error if every attempt fails.  Returns fn()'s value.  Tested by
+    fault injection in tests/test_metrics.py."""
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            last = e
+            print(f"# warmup attempt {attempt} failed: {e}", file=sys.stderr)
+            if attempt < attempts - 1:
+                _sleep(sleep_s)
+    raise last
+
+
 def main():
     import jax
 
@@ -59,13 +80,8 @@ def main():
     # stalls 1-5 min in the claim/transfer layer (measured even for a plain
     # 256x256 matmul — content-independent), so the warmup absorbs that and
     # retries actual crashes.
-    for attempt in range(3):
-        try:
-            np.asarray(render_pass(scene, cam, key, spp=spp, **kw))
-            break
-        except Exception as e:  # pragma: no cover - device recovery path
-            print(f"# warmup attempt {attempt} failed: {e}", file=sys.stderr)
-            time.sleep(20)
+    warmup_with_retries(
+        lambda: np.asarray(render_pass(scene, cam, key, spp=spp, **kw)))
 
     elapsed = float("inf")
     for _ in range(2):

@@ -43,3 +43,33 @@ def test_multihost_single_process_path():
                                         chunk=256)
     assert img.shape[1] == 16
     assert state["spp_done"] == 2
+
+
+def test_warmup_retries_fault_injection():
+    """Failure-detection/recovery (SURVEY §5): the bench warmup must absorb
+    transient device-layer crashes (the axon tunnel's first execution
+    sometimes dies and recovers) and re-raise only after exhausting its
+    attempts.  Injected faults, no real device involved."""
+    import pytest
+
+    from bench import warmup_with_retries
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("injected worker crash")
+        return "ok"
+
+    assert warmup_with_retries(flaky, attempts=3, sleep_s=5.0,
+                               _sleep=sleeps.append) == "ok"
+    assert calls["n"] == 3 and sleeps == [5.0, 5.0]
+
+    def always_dead():
+        raise RuntimeError("permanent failure")
+
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        warmup_with_retries(always_dead, attempts=2, sleep_s=1.0,
+                            _sleep=sleeps.append)
