@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--out-dir", default="/tmp")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="Orbax train-state checkpoint directory; pass with "
+                         "--resume to continue a killed run")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     true_albedo = (0.75, 0.25, 0.15)
@@ -110,7 +114,8 @@ def main():
     fitted, hist = fit(
         wrong, ["sph_center", "tex_color1"], target, cfg, steps=args.steps,
         mesh=mesh, spp=args.spp, chunk=4096, progress=progress,
-        optimizer=opt,
+        optimizer=opt, checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
     )
     loss1 = float(image_loss(fitted, target, cam, jax.random.key(1), **kw))
 
