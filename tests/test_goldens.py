@@ -33,6 +33,8 @@ CASES = {
     "perlin": ("book2_perlin_spheres", "path", 24, 64, 6),
     "quads": ("book2_quads", "path", 24, 64, 6),
     "final_tiny": ("book2_final_scene", "path", 24, 16, 5),
+    # 10k-sphere scaling scene: pins the wide-field builder + seeded layout
+    "field10k_tiny": ("sphere_field_10k", "path", 24, 8, 4),
 }
 
 

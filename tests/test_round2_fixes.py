@@ -224,3 +224,24 @@ def test_batab_rows_match_kernel_fetch_for_image_scenes():
         tile_rows=8, interpret=True, segment=True)
     assert statics["has_image"] and statics["n_boxes"] == 1
     assert arrays["batab"].shape[0] == 17 * statics["b_slabs"]
+
+
+def test_prepare_megakernel_respawn_statics():
+    """respawn=True must flow into the monolithic statics (the persistent
+    in-kernel respawn loop) and stay absent from segment statics (the
+    segmented wavefront drives respawn from XLA instead)."""
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.ops.pallas_megakernel import prepare_megakernel
+    from rustraytrace_tpu.ops.pallas_wavefront import SEG_KEYS
+
+    scene, cfg, _ = models.book1_three_spheres(dict(image_width=16))
+    cam = derive_camera(cfg)
+    _, st = prepare_megakernel(scene, cam, width=16, height=9, spp=2,
+                               max_depth=3, interpret=True, respawn=True)
+    assert st["respawn"] is True
+    _, st2 = prepare_megakernel(scene, cam, width=16, height=9, spp=2,
+                                max_depth=3, interpret=True)
+    assert st2["respawn"] is False
+    _, st3 = prepare_megakernel(scene, cam, width=16, height=9, spp=1,
+                                max_depth=3, interpret=True, segment=True)
+    assert "respawn" not in st3 and "respawn" not in SEG_KEYS
