@@ -83,12 +83,9 @@ def main():
     warmup_with_retries(
         lambda: np.asarray(render_pass(scene, cam, key, spp=spp, **kw)))
 
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        accum = render_pass(scene, cam, key, spp=spp, **kw)
-        np.asarray(accum)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+    from rustraytrace_tpu.utils.metrics import time_best
+
+    elapsed = time_best(lambda: render_pass(scene, cam, key, spp=spp, **kw))
 
     paths = w * h * spp
     pps = paths / elapsed

@@ -160,10 +160,12 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
             # backgrounds make per-lane path lengths ragged, which the
             # respawn wavefront absorbs; enclosed scenes keep the
             # monolithic megakernel (measured crossover in its docstring)
-            open_bg = cfg.background is None or (
-                float(np.max(np.asarray(cfg.background))) > 0.0)
+            from ..render import background_is_open
+
             backend = ("wavefront"
-                       if integrator == "path" and open_bg else "megakernel")
+                       if integrator == "path"
+                       and background_is_open(cfg.background)
+                       else "megakernel")
         elif wavefront_shard_eligible(scene, integrator, mesh):
             backend = "wavefront"
         else:

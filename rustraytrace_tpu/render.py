@@ -187,6 +187,18 @@ def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
     return (np.clip(img, 0.0, 0.999) * 256.0).astype(np.uint8)
 
 
+def background_is_open(background) -> bool:
+    """True when rays can escape to a light-carrying background: the book-1
+    sky gradient (``None``) or any non-black flat color.  The sentinel
+    string "unspecified" (caller has no cfg) counts as enclosed — the
+    conservative routing default."""
+    if background is None:
+        return True
+    if isinstance(background, str):
+        return False
+    return float(np.max(np.asarray(background))) > 0.0
+
+
 def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
                     background="unspecified") -> str:
     """'auto' picks the fastest eligible Pallas path for the scene.
@@ -210,12 +222,7 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
     from .ops.pallas_wavefront import wavefront_eligible
 
     on_tpu = jax.default_backend() == "tpu"
-    if background is None:  # book-1 sky gradient
-        open_bg = True
-    elif isinstance(background, str):  # "unspecified": caller has no cfg
-        open_bg = False
-    else:
-        open_bg = float(np.max(np.asarray(background))) > 0.0
+    open_bg = background_is_open(background)
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
     # the closest-hit kernel runs everywhere (interpret mode on CPU)
     if integrator == "path" and on_tpu and megakernel_eligible(scene):

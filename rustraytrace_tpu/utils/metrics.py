@@ -27,6 +27,21 @@ def device_fence(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def time_best(go, repeats: int = 2) -> float:
+    """Best-of-``repeats`` wall time of ``go()``, fenced with a
+    device->host copy (see device_fence) — the one timing idiom every
+    bench script shares.  ``go`` must have been run once already (warmup/
+    compile)."""
+    import time
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        device_fence(go())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 @dataclass
 class PassRecord:
     spp: int

@@ -73,13 +73,10 @@ def main():
 
             try:
                 r = go()
-                np.asarray(r)  # fence (block_until_ready is a no-op here)
-                el = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    r = go()
-                    np.asarray(r)
-                    el = min(el, time.perf_counter() - t0)
+                np.asarray(r)  # warmup; fence via device->host copy
+                from rustraytrace_tpu.utils.metrics import time_best
+
+                el = time_best(go)
                 print(json.dumps({
                     "case": name, "variant": label,
                     "paths_per_s": round(w * h * spp / el, 1),

@@ -76,19 +76,13 @@ def run_case(name: str) -> dict:
             max_depth=depth, integrator=integ, chunk=min(131072, w * h),
             backend=backend)
 
-    for attempt in range(3):
-        try:
-            np.asarray(go())
-            break
-        except Exception as e:  # pragma: no cover
-            print(f"# warmup {name} attempt {attempt}: {e}", file=sys.stderr)
-            time.sleep(20)
+    from bench import warmup_with_retries
 
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        np.asarray(go())
-        elapsed = min(elapsed, time.perf_counter() - t0)
+    warmup_with_retries(lambda: np.asarray(go()))
+
+    from rustraytrace_tpu.utils.metrics import time_best
+
+    elapsed = time_best(go)
 
     pps = w * h * spp / elapsed
     rec = {"case": name, "backend": backend,
