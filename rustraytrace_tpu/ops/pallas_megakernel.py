@@ -329,6 +329,26 @@ def megakernel_mis_eligible(scene: Scene) -> bool:
     return ISOTROPIC not in used
 
 
+def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
+    """Measured tile height for the PERSISTENT RESPAWN kernel (v5e
+    head-to-head, scripts/bench_backends.py, one process, Mpaths/s at
+    32/64 rows): flagship 23.2/25.9, cornell_d20 24.3/33.7, smoke
+    24.0/37.5, quads 18.2/26.0, bouncing 6.5/6.7 — 64 wins broadly
+    (respawn keeps every lane live, so the monolithic kernel's
+    small-tile cull-granularity argument no longer applies).  Exceptions
+    where 64 regressed: perlin 14.6/11.6 (the turbulence slab tables push
+    VMEM), MIS 27.6/26.9 (unrolled light loops), >4k primitives 8.1/7.8
+    (field10k; bigger cluster tables)."""
+    import numpy as np
+
+    if mis or ("noise" in scene.features):
+        return 32
+    n = int(sum(float(np.asarray(m).sum()) for m in (
+        scene.sph_mask, scene.quad_mask, scene.box_mask,
+        scene.msph_mask, scene.mbox_mask)))
+    return 32 if n > 4000 else 64
+
+
 def _uniform(shape):
     # prng_random_bits yields int32; mask to the low 23 bits (always
     # non-negative — an arithmetic >> of negative bits would yield negative

@@ -417,13 +417,14 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if "image" not in scene.features:
-        from .pallas_megakernel import render_pass_megakernel
+        from .pallas_megakernel import render_pass_megakernel, respawn_tile_rows
 
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
             stratified=stratified, sqrt_spp=sqrt_spp,
-            tile_rows=tile_rows if tile_rows is not None else TILE_ROWS,
+            tile_rows=(tile_rows if tile_rows is not None
+                       else respawn_tile_rows(scene)),
             interpret=interpret, respawn=True)
     if tile_rows is None:
         tile_rows = wavefront_tile_rows(scene)

@@ -73,22 +73,27 @@ def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                    stratified: bool = False,
                                    sqrt_spp: int = 0,
                                    sample_offset: int = 0,
-                                   respawn: bool = False) -> jnp.ndarray:
+                                   respawn: bool = False,
+                                   tile_rows: int | None = None) -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across every device of the mesh.
 
     Each device traces ``ceil(spp / n_devices)`` samples at a distinct
     ``sample_offset``; returns the psum'd radiance SUM [H, W, 3] (replicated).
     Actual samples traced = ``spp_traced_mesh(spp, mesh)``.
     """
-    from ..ops.pallas_megakernel import (megakernel_pass_from_prepared,
-                                         prepare_megakernel)
+    from ..ops.pallas_megakernel import (TILE_ROWS,
+                                         megakernel_pass_from_prepared,
+                                         prepare_megakernel,
+                                         respawn_tile_rows)
 
+    if tile_rows is None:
+        tile_rows = respawn_tile_rows(scene, mis=mis) if respawn else TILE_ROWS
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
     arrays, statics = prepare_megakernel(
         scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, mis=mis, stratified=stratified,
-        sqrt_spp=sqrt_spp, respawn=respawn)
+        sqrt_spp=sqrt_spp, respawn=respawn, tile_rows=tile_rows)
     offsets = (sample_offset
                + jnp.arange(n, dtype=jnp.int32) * spp_local)
 
@@ -148,7 +153,8 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
             acc_pass = render_pass_megakernel_sharded(
                 scene, cam, key, width=w, height=h, spp=this,
                 max_depth=cfg.max_depth, mesh=mesh, mis=integrator == "mis",
-                stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done)
+                stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done,
+                respawn=True)
         accum = accum + acc_pass
         done += spp_traced_mesh(this, mesh)
         if progress is not None:

@@ -156,16 +156,10 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
 
     if backend == "auto":
         if megakernel_shard_eligible(scene, integrator, mesh):
-            # same open-vs-enclosed split as render.resolve_backend: open
-            # backgrounds make per-lane path lengths ragged, which the
-            # respawn wavefront absorbs; enclosed scenes keep the
-            # monolithic megakernel (measured crossover in its docstring)
-            from ..render import background_is_open
-
-            backend = ("wavefront"
-                       if integrator == "path"
-                       and background_is_open(cfg.background)
-                       else "megakernel")
+            # same collapsed routing as render.resolve_backend: the
+            # persistent-respawn kernel won every measured scene, so
+            # path -> 'wavefront' and mis -> 'megakernel' (both respawn)
+            backend = "wavefront" if integrator == "path" else "megakernel"
         elif wavefront_shard_eligible(scene, integrator, mesh):
             backend = "wavefront"
         else:

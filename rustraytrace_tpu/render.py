@@ -95,13 +95,19 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     is jitted.
     """
     if backend == "megakernel":
-        from .ops.pallas_megakernel import render_pass_megakernel
+        from .ops.pallas_megakernel import (render_pass_megakernel,
+                                            respawn_tile_rows)
 
+        # respawn=True: the persistent-respawn variant beat the monolithic
+        # bounce loop on every measured scene, MIS included (cornell_mis
+        # 27.6 vs 17.1 Mpaths/s — scripts/bench_backends.py, v5e)
+        mis = integrator == "mis"
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
-            mis=integrator == "mis", stratified=stratified,
-            sqrt_spp=sqrt_spp,
+            mis=mis, stratified=stratified,
+            sqrt_spp=sqrt_spp, respawn=True,
+            tile_rows=respawn_tile_rows(scene, mis=mis),
         )
     if backend == "wavefront":
         if integrator != "path":
@@ -187,34 +193,23 @@ def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
     return (np.clip(img, 0.0, 0.999) * 256.0).astype(np.uint8)
 
 
-def background_is_open(background) -> bool:
-    """True when rays can escape to a light-carrying background: the book-1
-    sky gradient (``None``) or any non-black flat color.  The sentinel
-    string "unspecified" (caller has no cfg) counts as enclosed — the
-    conservative routing default."""
-    if background is None:
-        return True
-    if isinstance(background, str):
-        return False
-    return float(np.max(np.asarray(background))) > 0.0
 
 
 def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
                     background="unspecified") -> str:
     """'auto' picks the fastest eligible Pallas path for the scene.
 
-    ``background`` (``cfg.background``: None = book-1 sky gradient, a color
-    tuple otherwise) refines the choice between the two TPU kernels for
-    non-image scenes. Measured on the v5e (Mpaths/s, megakernel vs respawn
-    wavefront): OPEN scenes — where escaping rays make per-lane path lengths
-    ragged, which the wavefront's in-place sample respawn absorbs — favor
-    the wavefront (flagship d50 14.7 vs 23.7, bouncing d50 7.2 vs 11.8,
-    quads d10 43.4 vs 52.4), while ENCLOSED scenes (black background: every
-    path runs until absorption, so lane lifetimes are uniform and the
-    monolithic in-kernel bounce loop avoids per-segment HBM state traffic)
-    favor the megakernel (cornell d20 28.0 vs 18.8; smoke 37.1 vs 36.5).
-    When ``background`` is not supplied the enclosed-scene default
-    (megakernel) is kept."""
+    Routing history: round 2 initially split open-background scenes
+    (respawn wavefront) from enclosed ones (monolithic megakernel).  Once
+    the respawn loop moved fully in-kernel (persistent respawn), it won on
+    EVERY scene including enclosed and MIS (scripts/bench_backends.py,
+    v5e, Mpaths/s mono vs respawn: cornell_d20 22.9/33.7, smoke 23.2/37.5,
+    flagship 13.5/25.9, cornell_mis 17.1/27.6), so the split collapsed:
+    path -> 'wavefront' (persistent respawn; image scenes take its
+    segmented texel-resolve loop), mis -> 'megakernel' (the same respawn
+    kernel with in-kernel NEE/MIS).  ``background`` is kept for signature
+    stability; it no longer affects the choice."""
+    del background  # routing no longer depends on it (see docstring)
     if backend != "auto":
         return backend
     from .ops.pallas_hit import sphere_kernel_eligible
@@ -222,11 +217,10 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
     from .ops.pallas_wavefront import wavefront_eligible
 
     on_tpu = jax.default_backend() == "tpu"
-    open_bg = background_is_open(background)
     # the megakernel's Mosaic PRNG has no CPU lowering, so it is TPU-only;
     # the closest-hit kernel runs everywhere (interpret mode on CPU)
     if integrator == "path" and on_tpu and megakernel_eligible(scene):
-        return "wavefront" if open_bg else "megakernel"
+        return "wavefront"
     if integrator == "mis" and on_tpu and megakernel_mis_eligible(scene):
         return "megakernel"
     # image-textured scenes: the segmented wavefront kernel with XLA texel
