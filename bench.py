@@ -66,8 +66,7 @@ def main():
     w, h = cfg.image_width, cfg.image_height
     key = jax.random.key(0)
 
-    backend = os.environ.get("BENCH_BACKEND") or resolve_backend(
-        scene, "path", background=cfg.background)
+    backend = os.environ.get("BENCH_BACKEND") or resolve_backend(scene, "path")
     kw = dict(width=w, height=h, max_depth=depth, integrator="path",
               chunk=min(chunk, w * h), backend=backend)
 

@@ -329,6 +329,16 @@ def megakernel_mis_eligible(scene: Scene) -> bool:
     return ISOTROPIC not in used
 
 
+def active_primitive_count(scene: Scene) -> int:
+    """Total active primitives (spheres + quads + boxes + media); shared by
+    respawn_tile_rows and the wavefront texel-gate heuristic."""
+    import numpy as np
+
+    return int(sum(float(np.asarray(m).sum()) for m in (
+        scene.sph_mask, scene.quad_mask, scene.box_mask,
+        scene.msph_mask, scene.mbox_mask)))
+
+
 def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
     """Measured tile height for the PERSISTENT RESPAWN kernel (v5e
     head-to-head, scripts/bench_backends.py, one process, Mpaths/s at
@@ -339,14 +349,9 @@ def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
     where 64 regressed: perlin 14.6/11.6 (the turbulence slab tables push
     VMEM), MIS 27.6/26.9 (unrolled light loops), >4k primitives 8.1/7.8
     (field10k; bigger cluster tables)."""
-    import numpy as np
-
     if mis or ("noise" in scene.features):
         return 32
-    n = int(sum(float(np.asarray(m).sum()) for m in (
-        scene.sph_mask, scene.quad_mask, scene.box_mask,
-        scene.msph_mask, scene.mbox_mask)))
-    return 32 if n > 4000 else 64
+    return 32 if active_primitive_count(scene) > 4000 else 64
 
 
 def _uniform(shape):

@@ -58,6 +58,7 @@ from ..scene import Scene, TEX_IMAGE
 from .pallas_megakernel import (B_COLS, L_COLS, M_COLS, Q_COLS,
                                 TILE_LANES, TILE_ROWS, _BLK, _F32,
                                 _make_kernel, _unswizzle_index,
+                                active_primitive_count,
                                 prepare_megakernel)
 from .textures import image_texel
 
@@ -103,15 +104,6 @@ def seg_statics_tuple(statics: dict) -> tuple:
     return tuple(sorted((k, statics[k]) for k in SEG_KEYS))
 
 
-def _active_primitive_count(scene: Scene) -> int:
-    """Total active primitives (spheres + quads + boxes + media)."""
-    import numpy as np
-
-    return int(sum(float(np.asarray(m).sum()) for m in (
-        scene.sph_mask, scene.quad_mask, scene.box_mask,
-        scene.msph_mask, scene.mbox_mask)))
-
-
 def texel_gate_heuristic(scene: Scene) -> bool:
     """Static choice for the per-segment texel-resolve gate: True when
     image-textured spheres are a sliver of the scene's primitives, so most
@@ -127,7 +119,7 @@ def texel_gate_heuristic(scene: Scene) -> bool:
     img_mat = tex_kind[mat_tex] == TEX_IMAGE
     sph_img = int(np.sum((np.asarray(scene.sph_mask) > 0)
                          & img_mat[np.asarray(scene.sph_mat)]))
-    return _active_primitive_count(scene) > 8 * max(sph_img, 1)
+    return active_primitive_count(scene) > 8 * max(sph_img, 1)
 
 
 @functools.partial(

@@ -195,8 +195,7 @@ def finalize_image(accum_sum: np.ndarray, spp_total: int) -> np.ndarray:
 
 
 
-def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
-                    background="unspecified") -> str:
+def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str:
     """'auto' picks the fastest eligible Pallas path for the scene.
 
     Routing history: round 2 initially split open-background scenes
@@ -207,9 +206,8 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto",
     flagship 13.5/25.9, cornell_mis 17.1/27.6), so the split collapsed:
     path -> 'wavefront' (persistent respawn; image scenes take its
     segmented texel-resolve loop), mis -> 'megakernel' (the same respawn
-    kernel with in-kernel NEE/MIS).  ``background`` is kept for signature
-    stability; it no longer affects the choice."""
-    del background  # routing no longer depends on it (see docstring)
+    kernel with in-kernel NEE/MIS).  Routing does NOT depend on the
+    background anymore (the round-2 ``background=`` kwarg is gone)."""
     if backend != "auto":
         return backend
     from .ops.pallas_hit import sphere_kernel_eligible
@@ -241,8 +239,7 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
     Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
     call resumes accumulation (checkpoint/resume; SURVEY.md §5).
     """
-    backend = resolve_backend(scene, integrator, backend,
-                              background=cfg.background)
+    backend = resolve_backend(scene, integrator, backend)
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
 

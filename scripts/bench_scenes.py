@@ -67,7 +67,7 @@ def run_case(name: str) -> dict:
     cam = derive_camera(cfg)
     w, h = cfg.image_width, cfg.image_height
     if backend == "auto":
-        backend = resolve_backend(scene, integ, background=cfg.background)
+        backend = resolve_backend(scene, integ)
     key = jax.random.key(0)
 
     def go():

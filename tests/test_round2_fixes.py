@@ -175,28 +175,30 @@ def test_wavefront_respawn_stratum_wrap():
         np.asarray(s_j), (np.arange(40) % 16 // 4).astype(np.float32))
 
 
-def test_backend_routing_open_vs_enclosed(monkeypatch):
-    """'auto' routes megakernel-eligible path scenes by background: OPEN
-    scenes (sky gradient / non-black flat color -> ragged per-lane path
-    lengths) take the respawn wavefront, ENCLOSED scenes (black background)
-    keep the monolithic megakernel, and an unspecified background keeps the
-    conservative megakernel default (measured crossover: see
-    render.resolve_backend docstring)."""
+def test_backend_routing_collapsed(monkeypatch):
+    """'auto' routing after the round-2 collapse: the persistent-respawn
+    kernel won on EVERY scene incl. enclosed/MIS (see resolve_backend
+    docstring), so path scenes route to 'wavefront' regardless of
+    background, MIS scenes to 'megakernel', and an explicit backend always
+    wins.  The round-2 ``background=`` kwarg is gone — passing it is an
+    error, so stale callers fail loudly instead of silently not routing."""
     from rustraytrace_tpu import render as render_mod
 
     monkeypatch.setattr(render_mod.jax, "default_backend", lambda: "tpu")
+    # open (sky gradient) and enclosed (black background) route identically
     scene, cfg, _ = models.book1_three_spheres(dict(image_width=16))
-    assert cfg.background is None  # sky gradient
-    assert render_mod.resolve_backend(
-        scene, "path", background=cfg.background) == "wavefront"
-    assert render_mod.resolve_backend(
-        scene, "path", background=(0.7, 0.8, 1.0)) == "wavefront"
-    assert render_mod.resolve_backend(
-        scene, "path", background=(0.0, 0.0, 0.0)) == "megakernel"
-    assert render_mod.resolve_backend(scene, "path") == "megakernel"
+    assert cfg.background is None  # sky gradient (open)
+    assert render_mod.resolve_backend(scene, "path") == "wavefront"
+    enclosed, ecfg, _ = models.book2_cornell_box(dict(image_width=16))
+    assert ecfg.background == (0.0, 0.0, 0.0)
+    assert render_mod.resolve_backend(enclosed, "path") == "wavefront"
+    mis_scene, _, integ = models.book3_cornell_box(dict(image_width=16))
+    assert integ == "mis"
+    assert render_mod.resolve_backend(mis_scene, "mis") == "megakernel"
     # explicit backend always wins
-    assert render_mod.resolve_backend(
-        scene, "path", backend="xla", background=None) == "xla"
+    assert render_mod.resolve_backend(scene, "path", backend="xla") == "xla"
+    with pytest.raises(TypeError):
+        render_mod.resolve_backend(scene, "path", background=None)
 
 
 def test_batab_rows_match_kernel_fetch_for_image_scenes():
