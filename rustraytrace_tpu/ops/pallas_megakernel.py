@@ -59,6 +59,18 @@ RR_START_BOUNCE = 5
 RR_P_MIN = 0.05
 RR_P_MAX = 0.95
 
+# Measured defaults for the intersect-loop shape knobs (v5e sweeps,
+# scripts/bench_kernel_knobs.py; see ROADMAP.md round-3 notes).  UNROLL
+# tests U primitives per scalar-loop iteration (cluster ranges are padded
+# to multiples of U with unhittable sentinel rows), trading a few dead
+# tests for U-fold fewer loop-carried iterations; MAX_LEAF is the SAH
+# treelet-cut leaf size (smaller = tighter cluster frustums, longer cull
+# scans).
+SPHERE_UNROLL = 4
+BOX_UNROLL = 4
+SPHERE_MAX_LEAF = 32
+BOX_MAX_LEAF = 32
+
 # joined sphere+material SMEM table columns
 J_CX, J_CY, J_CZ, J_R2 = 0, 1, 2, 3
 J_VX, J_VY, J_VZ = 4, 5, 6
@@ -88,7 +100,14 @@ Q_IOR = 21
 Q_TEXK = 22
 Q_C2R, Q_C2G, Q_C2B = 23, 24, 25
 Q_INVS = 26
+Q_IMG = 27  # image index (wavefront segment mode texel deferral)
 Q_COLS = 32
+
+# pend-record flag encoding (segment mode, has_image): |flag| = img_id + 1,
+# plus _UV_FLAG when the kernel emitted a DIRECT (u, v) pair (quad planar
+# coords / box face coords) instead of a sphere normal for XLA to derive the
+# UV from.  Image counts are tiny (<< 2048), so the bands never collide.
+_UV_FLAG = 2048.0
 
 
 def megakernel_eligible(scene: Scene) -> bool:
@@ -166,6 +185,7 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     tab = tab.at[:, Q_C2R:Q_C2B + 1].set(scene.tex_color2[mtex])
     tab = tab.at[:, Q_INVS].set(jnp.where(
         tk == 3, scene.tex_noise_scale[mtex], scene.tex_inv_scale[mtex]))
+    tab = tab.at[:, Q_IMG].set(scene.tex_image[mtex].astype(_F32))
     return tab
 
 
@@ -179,10 +199,37 @@ B_COLS = 8
 _BOX_ATTRS_BASE = 12  # kind, a(3), fuzz, ior, lo(3), hi(3)
 
 
-def pack_box_tables(scene: Scene, max_leaf: int = 32):
+def _pad_cluster_ranges(order, cl_start, u: int):
+    """Pad every [start, end) range of ``order`` to a multiple of ``u`` with
+    -1 sentinels (unhittable rows), so the kernel's unrolled fori bounds
+    (``cl_start // u``) cover each cluster exactly."""
+    import numpy as np
+
+    order = np.asarray(order, np.int32)
+    cl_start = np.asarray(cl_start, np.int32)
+    if u <= 1:
+        return order, cl_start
+    segs, starts, tot = [], [0], 0
+    for c in range(cl_start.shape[0] - 1):
+        seg = order[cl_start[c]:cl_start[c + 1]]
+        pad = (-seg.shape[0]) % u
+        if pad:
+            seg = np.concatenate([seg, np.full(pad, -1, np.int32)])
+        segs.append(seg)
+        tot += seg.shape[0]
+        starts.append(tot)
+    return (np.concatenate(segs).astype(np.int32),
+            np.asarray(starts, np.int32))
+
+
+def pack_box_tables(scene: Scene, max_leaf: int = 32, pad_to: int = 1):
     """(btab [NB,8] f32, order, cl_start [C+1] i32, cl_bounds [C,8] f32) of
     the ACTIVE boxes, SAH-cluster-reordered (tight AABB clusters via the
-    native rtt_cluster_aabbs; the same treelet-cut machinery as spheres)."""
+    native rtt_cluster_aabbs; the same treelet-cut machinery as spheres).
+
+    ``pad_to`` pads each cluster's range to a multiple of the kernel's
+    box-loop unroll; padded rows (order = -1) are degenerate lo == hi points
+    far from the scene, rejected by the strict t1 < t2 slab test."""
     import numpy as np
 
     from ..native import build_aabb_clusters
@@ -202,8 +249,11 @@ def pack_box_tables(scene: Scene, max_leaf: int = 32):
         cl_start = np.asarray([0, n], np.int32)
         cl_min = lo.min(axis=0, keepdims=True)
         cl_max = hi.max(axis=0, keepdims=True)
-    lo, hi = lo[order], hi[order]
-    btab = np.zeros((n, B_COLS), np.float32)
+    order, cl_start = _pad_cluster_ranges(order, cl_start, pad_to)
+    dead = order < 0
+    lo = np.where(dead[:, None], 1e28, lo[np.maximum(order, 0)])
+    hi = np.where(dead[:, None], 1e28, hi[np.maximum(order, 0)])
+    btab = np.zeros((order.shape[0], B_COLS), np.float32)
     btab[:, B_LOX:B_LOZ + 1] = lo
     btab[:, B_HIX:B_HIZ + 1] = hi
     clb = np.concatenate(
@@ -308,9 +358,9 @@ def pack_light_table(scene: Scene):
     return tab, L
 
 
-def megakernel_mis_eligible(scene: Scene) -> bool:
-    """Book-3 MIS in-kernel: megakernel-eligible scene + 1..16 NEE lights +
-    no isotropic materials (media are already excluded).
+def mis_lights_ok(scene: Scene) -> bool:
+    """Shared in-kernel NEE/MIS constraints (megakernel AND the segmented
+    wavefront): 1..16 NEE lights + no isotropic materials (media excluded).
 
     The light loops unroll at compile time (static n_lights), so the cap is
     a compile-time cost knob, not a hardware limit: every reference scene
@@ -318,8 +368,6 @@ def megakernel_mis_eligible(scene: Scene) -> bool:
     the unrolled pdf/sample code well inside the instruction budget."""
     import numpy as np
 
-    if not megakernel_eligible(scene):
-        return False
     n_lights = int(np.asarray(jnp.sum(scene.light_mask)))
     if not (1 <= n_lights <= 16):
         return False
@@ -327,6 +375,11 @@ def megakernel_mis_eligible(scene: Scene) -> bool:
     from ..scene import ISOTROPIC
 
     return ISOTROPIC not in used
+
+
+def megakernel_mis_eligible(scene: Scene) -> bool:
+    """Book-3 MIS in-kernel: megakernel-eligible scene + mis_lights_ok."""
+    return megakernel_eligible(scene) and mis_lights_ok(scene)
 
 
 def active_primitive_count(scene: Scene) -> int:
@@ -374,7 +427,9 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  n_slabs: int = 4, n_boxes: int = 0, n_bclusters: int = 0,
                  b_slabs: int = 1, n_sclusters: int = 0,
                  segment: bool = False, has_image: bool = False,
-                 respawn: bool = False):
+                 respawn: bool = False, unroll: int = 1, b_unroll: int = 1,
+                 media_kinds: tuple = (), persist: bool = False,
+                 persist_iters: int = 0):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -409,6 +464,12 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
              btab_ref, bclb_ref,
              bcls_ref, batab_ref, ltab_ref, mtab_ref,
              ptab_ref, vtab_ref, atab_ref, seed_ref, bg_ref,
+             st_ref, sto_ref, pend_ref) = refs
+        elif persist:
+            (tab_ref, qtab_ref, clb_ref, cls_ref, sclb_ref, scls_ref,
+             btab_ref, bclb_ref,
+             bcls_ref, batab_ref, ltab_ref, mtab_ref,
+             ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
              st_ref, sto_ref, pend_ref) = refs
         else:
             (tab_ref, qtab_ref, clb_ref, cls_ref, sclb_ref, scls_ref,
@@ -480,33 +541,40 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             py = jnp.minimum(pyi, height - 1).astype(_F32)
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
-            def body(s, carry):
+            def body(k, carry):
                 # tab_ref is the geometry-ONLY SMEM table (cx, cy, cz, r2
                 # [, vx, vy, vz]): the hot loop reads nothing else, and the
                 # slim layout keeps 10k-sphere scenes inside the scalar-
-                # memory budget (winner attributes live in the VMEM atab)
+                # memory budget (winner attributes live in the VMEM atab).
+                # Each iteration tests ``unroll`` consecutive spheres
+                # (cluster ranges are padded to multiples of ``unroll`` with
+                # r2 = -BIG sentinels, which can never pass disc > 0).
                 bt, bi = carry
-                cx = tab_ref[0, s]
-                cy = tab_ref[1, s]
-                cz = tab_ref[2, s]
-                r2 = tab_ref[3, s]
-                if moving:
-                    cx = cx + tm * tab_ref[4, s]
-                    cy = cy + tm * tab_ref[5, s]
-                    cz = cz + tm * tab_ref[6, s]
-                ocx = cx - ox
-                ocy = cy - oy
-                ocz = cz - oz
-                h = dx * ocx + dy * ocy + dz * ocz
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = h * h - a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                tn = (h - sq) * inv_a
-                tf = (h + sq) * inv_a
-                root = jnp.where((tn > T_MIN) & (tn < T_MAX), tn, tf)
-                take = ((disc > 0.0) & (root > T_MIN) & (root < T_MAX)
-                        & (root < bt))
-                return jnp.where(take, root, bt), jnp.where(take, s, bi)
+                for jj in range(unroll):
+                    s = k * unroll + jj if unroll > 1 else k
+                    cx = tab_ref[0, s]
+                    cy = tab_ref[1, s]
+                    cz = tab_ref[2, s]
+                    r2 = tab_ref[3, s]
+                    if moving:
+                        cx = cx + tm * tab_ref[4, s]
+                        cy = cy + tm * tab_ref[5, s]
+                        cz = cz + tm * tab_ref[6, s]
+                    ocx = cx - ox
+                    ocy = cy - oy
+                    ocz = cz - oz
+                    h = dx * ocx + dy * ocy + dz * ocz
+                    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    disc = h * h - a * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    tn = (h - sq) * inv_a
+                    tf = (h + sq) * inv_a
+                    root = jnp.where((tn > T_MIN) & (tn < T_MAX), tn, tf)
+                    take = ((disc > 0.0) & (root > T_MIN) & (root < T_MAX)
+                            & (root < bt))
+                    bt = jnp.where(take, root, bt)
+                    bi = jnp.where(take, s, bi)
+                return bt, bi
 
             init = (jnp.full(shape, _BIG, _F32),
                     jnp.full(shape, -1, jnp.int32))
@@ -557,6 +625,10 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
                 return cull_body
 
+            # NOTE: when unroll > 1, cls_ref holds PRE-DIVIDED sphere starts
+            # (cluster ranges padded to multiples of unroll, then // unroll)
+            # so the cull's fori bounds are already in body-iteration units;
+            # scls_ref indexes clusters and is never divided.
             if n_sclusters > 1:
                 scl_body = make_cull(sclb_ref, scls_ref,
                                      make_cull(clb_ref, cls_ref, body))
@@ -565,36 +637,42 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 cl_body = make_cull(clb_ref, cls_ref, body)
                 carry = jax.lax.fori_loop(0, n_clusters, cl_body, init)
             else:
-                carry = jax.lax.fori_loop(0, n_spheres, body, init)
+                carry = jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
             # --- axis-aligned box primitives: slab tests over the SAH-
             #     cluster-culled box table (the reference tests the same
             #     geometry as 6 quads each through its BVH, bvh.rs:160-172 /
             #     quad.rs:90-113) ---
             if n_boxes:
-                def bbody(s, bcarry):
+                def bbody(k, bcarry):
+                    # b_unroll boxes per iteration (padded with degenerate
+                    # lo == hi sentinels that fail the strict t1 < t2 test);
+                    # bcls_ref starts are pre-divided like cls_ref
                     bt_, bbi_ = bcarry
-                    tx1 = (btab_ref[s, B_LOX] - ox) * ivx
-                    tx2 = (btab_ref[s, B_HIX] - ox) * ivx
-                    ty1 = (btab_ref[s, B_LOY] - oy) * ivy
-                    ty2 = (btab_ref[s, B_HIY] - oy) * ivy
-                    tz1 = (btab_ref[s, B_LOZ] - oz) * ivz
-                    tz2 = (btab_ref[s, B_HIZ] - oz) * ivz
-                    t1 = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx1, tx2),
-                                    jnp.minimum(ty1, ty2)),
-                        jnp.minimum(tz1, tz2))
-                    t2 = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx1, tx2),
-                                    jnp.maximum(ty1, ty2)),
-                        jnp.maximum(tz1, tz2))
-                    near_ok = (t1 > T_MIN) & (t1 < T_MAX)
-                    # entry face if in window, else exit face (ray inside)
-                    root = jnp.where(near_ok, t1, t2)
-                    take = ((t1 < t2) & (root > T_MIN) & (root < T_MAX)
-                            & (root < bt_))
-                    return (jnp.where(take, root, bt_),
-                            jnp.where(take, s, bbi_))
+                    for jj in range(b_unroll):
+                        s = k * b_unroll + jj if b_unroll > 1 else k
+                        tx1 = (btab_ref[s, B_LOX] - ox) * ivx
+                        tx2 = (btab_ref[s, B_HIX] - ox) * ivx
+                        ty1 = (btab_ref[s, B_LOY] - oy) * ivy
+                        ty2 = (btab_ref[s, B_HIY] - oy) * ivy
+                        tz1 = (btab_ref[s, B_LOZ] - oz) * ivz
+                        tz2 = (btab_ref[s, B_HIZ] - oz) * ivz
+                        t1 = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx1, tx2),
+                                        jnp.minimum(ty1, ty2)),
+                            jnp.minimum(tz1, tz2))
+                        t2 = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx1, tx2),
+                                        jnp.maximum(ty1, ty2)),
+                            jnp.maximum(tz1, tz2))
+                        near_ok = (t1 > T_MIN) & (t1 < T_MAX)
+                        # entry face if in window, else exit face (inside)
+                        root = jnp.where(near_ok, t1, t2)
+                        take = ((t1 < t2) & (root > T_MIN) & (root < T_MAX)
+                                & (root < bt_))
+                        bt_ = jnp.where(take, root, bt_)
+                        bbi_ = jnp.where(take, s, bbi_)
+                    return bt_, bbi_
 
                 binit = (carry[0], jnp.full(shape, -1, jnp.int32))
                 if n_bclusters > 1:
@@ -602,7 +680,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                         0, n_bclusters,
                         make_cull(bclb_ref, bcls_ref, bbody), binit)
                 else:
-                    bt, bbi = jax.lax.fori_loop(0, n_boxes, bbody, binit)
+                    bt, bbi = jax.lax.fori_loop(
+                        0, n_boxes // b_unroll, bbody, binit)
                 carry = (bt, carry[1])
 
             def qbody(qi, carry):
@@ -652,13 +731,23 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, nqz + zeros, nz),
                 )
                 if has_tex:
-                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:15]
                     out = out + (
                         jnp.where(take, qtab_ref[qi, Q_TEXK], tk),
                         jnp.where(take, qtab_ref[qi, Q_C2R], c2r),
                         jnp.where(take, qtab_ref[qi, Q_C2G], c2g),
                         jnp.where(take, qtab_ref[qi, Q_C2B], c2b),
                         jnp.where(take, qtab_ref[qi, Q_INVS], ivs),
+                    )
+                if has_image:
+                    # a quad's (u, v) IS its planar-interior coordinate pair
+                    # (quad.rs:84-86) — emit it directly
+                    (img, uq, vq, isuv) = carry[15:19]
+                    out = out + (
+                        jnp.where(take, qtab_ref[qi, Q_IMG], img),
+                        jnp.where(take, alpha, uq),
+                        jnp.where(take, beta, vq),
+                        jnp.where(take, 1.0, isuv),
                     )
                 return out
 
@@ -700,11 +789,13 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 gi += 5
                 carry = carry + (tk, c2r, c2g, c2b, ivs)
             if has_image:
-                # image index of the winning sphere's texture; only sphere
-                # materials may carry image textures (wavefront_eligible),
-                # so the loops below never need to update it: any later
-                # quad/box/media winner overwrites tk away from TEX_IMAGE
+                # image-winner block (img id, u, v, is_uv): spheres leave
+                # is_uv = 0 (XLA derives UV from the emitted normal — no
+                # acos/atan2 in Mosaic); quad/box winners overwrite it below
+                # with their DIRECT planar/face (u, v) (quad.rs:59-88 alpha/
+                # beta; make_box face frames quad.rs:90-113)
                 img_w = jnp.where(shit, got[gi], 0.0)
+                carry = carry + (img_w, zeros, zeros, zeros)
 
             if n_boxes:
                 # box-winner attributes + face normal: refetch lo/hi through
@@ -758,13 +849,19 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                        jnp.where(bwon, bny, ny),
                        jnp.where(bwon, bnz, nz))
                 if has_tex:
-                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:15]
                     btk, bc2r, bc2g, bc2b, bivs = bgot[12:17]
                     out = out + (jnp.where(bwon, btk, tk),
                                  jnp.where(bwon, bc2r, c2r),
                                  jnp.where(bwon, bc2g, c2g),
                                  jnp.where(bwon, bc2b, c2b),
                                  jnp.where(bwon, bivs, ivs))
+                if has_image:
+                    # pass-through: a box primitive can never carry an image
+                    # texture (SceneBuilder.add_box bakes image-textured
+                    # boxes to 6 quads for UV support), and a box winner's
+                    # tk is never TEX_IMAGE, so the pend gate stays off
+                    out = out + tuple(carry[15:19])
                 carry = out
 
             if n_quads:
@@ -776,56 +873,68 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # hittable_list.rs:42-54).  Python loop: media counts are tiny.
             for m in range(n_media):
                 (bt, kind, ar, ag, ab, fz, io, nx, ny, nz) = carry[:10]
-                km = mtab_ref[m, M_KIND]
-                # --- sphere boundary roots over (-inf, inf)
-                ocx = mtab_ref[m, M_CX] - ox
-                ocy = mtab_ref[m, M_CY] - oy
-                ocz = mtab_ref[m, M_CZ] - oz
-                hh = dx * ocx + dy * ocy + dz * ocz
-                cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                      - mtab_ref[m, M_R2])
-                disc = hh * hh - a * cc
-                sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
-                s_t1 = (hh - sqd) * inv_a
-                s_t2 = (hh + sqd) * inv_a
-                s_ok = disc > 0.0
-                # --- oriented-box boundary (world->local: offset + rot -th)
-                cth = mtab_ref[m, M_COS]
-                sth = mtab_ref[m, M_SIN]
-                rox = ox - mtab_ref[m, M_CX]
-                roz = oz - mtab_ref[m, M_CZ]
-                lox_ = cth * rox - sth * roz
-                loy_ = oy - mtab_ref[m, M_CY]
-                loz_ = sth * rox + cth * roz
-                ldx_ = cth * dx - sth * dz
-                ldy_ = dy
-                ldz_ = sth * dx + cth * dz
-                def sinv(dv):
-                    sg = jnp.where(dv < 0.0, -1e-20, 1e-20)
-                    return 1.0 / jnp.where(jnp.abs(dv) < 1e-20, sg, dv)
-                ivx_ = sinv(ldx_)
-                ivy_ = sinv(ldy_)
-                ivz_ = sinv(ldz_)
-                tx1 = (mtab_ref[m, M_LOX] - lox_) * ivx_
-                tx2 = (mtab_ref[m, M_HIX] - lox_) * ivx_
-                ty1 = (mtab_ref[m, M_LOY] - loy_) * ivy_
-                ty2 = (mtab_ref[m, M_HIY] - loy_) * ivy_
-                tz1 = (mtab_ref[m, M_LOZ] - loz_) * ivz_
-                tz2 = (mtab_ref[m, M_HIZ] - loz_) * ivz_
-                b_t1 = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                               jnp.minimum(ty1, ty2)),
-                                   jnp.minimum(tz1, tz2))
-                b_t2 = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                               jnp.maximum(ty1, ty2)),
-                                   jnp.maximum(tz1, tz2))
-                b_ok = b_t1 < b_t2
+                # medium KIND is static per scene (media_kinds from
+                # pack_media_table order), so each medium evaluates ONLY its
+                # own boundary test — book2_final's r=5000 whole-scene mist
+                # paid the oriented-box transform + slab test for nothing on
+                # every bounce before this specialization
+                km_static = media_kinds[m] if media_kinds else None
+                if km_static != 1:
+                    # --- sphere boundary roots over (-inf, inf)
+                    ocx = mtab_ref[m, M_CX] - ox
+                    ocy = mtab_ref[m, M_CY] - oy
+                    ocz = mtab_ref[m, M_CZ] - oz
+                    hh = dx * ocx + dy * ocy + dz * ocz
+                    cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                          - mtab_ref[m, M_R2])
+                    disc = hh * hh - a * cc
+                    sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    s_t1 = (hh - sqd) * inv_a
+                    s_t2 = (hh + sqd) * inv_a
+                    s_ok = disc > 0.0
+                if km_static != 0:
+                    # --- oriented-box boundary (world->local: offset+rot -th)
+                    cth = mtab_ref[m, M_COS]
+                    sth = mtab_ref[m, M_SIN]
+                    rox = ox - mtab_ref[m, M_CX]
+                    roz = oz - mtab_ref[m, M_CZ]
+                    lox_ = cth * rox - sth * roz
+                    loy_ = oy - mtab_ref[m, M_CY]
+                    loz_ = sth * rox + cth * roz
+                    ldx_ = cth * dx - sth * dz
+                    ldy_ = dy
+                    ldz_ = sth * dx + cth * dz
+                    def sinv(dv):
+                        sg = jnp.where(dv < 0.0, -1e-20, 1e-20)
+                        return 1.0 / jnp.where(jnp.abs(dv) < 1e-20, sg, dv)
+                    ivx_ = sinv(ldx_)
+                    ivy_ = sinv(ldy_)
+                    ivz_ = sinv(ldz_)
+                    tx1 = (mtab_ref[m, M_LOX] - lox_) * ivx_
+                    tx2 = (mtab_ref[m, M_HIX] - lox_) * ivx_
+                    ty1 = (mtab_ref[m, M_LOY] - loy_) * ivy_
+                    ty2 = (mtab_ref[m, M_HIY] - loy_) * ivy_
+                    tz1 = (mtab_ref[m, M_LOZ] - loz_) * ivz_
+                    tz2 = (mtab_ref[m, M_HIZ] - loz_) * ivz_
+                    b_t1 = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                                   jnp.minimum(ty1, ty2)),
+                                       jnp.minimum(tz1, tz2))
+                    b_t2 = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                                   jnp.maximum(ty1, ty2)),
+                                       jnp.maximum(tz1, tz2))
+                    b_ok = b_t1 < b_t2
 
-                is_box = km > 0.5
-                t1 = jnp.where(is_box, b_t1, s_t1)
-                t2 = jnp.where(is_box, b_t2, s_t2)
-                # logical combine, not select: Mosaic cannot legalize
-                # arith.select on i1 vectors
-                in_ok = (b_ok & is_box) | (s_ok & ~is_box)
+                if km_static == 0:
+                    t1, t2, in_ok = s_t1, s_t2, s_ok
+                elif km_static == 1:
+                    t1, t2, in_ok = b_t1, b_t2, b_ok
+                else:
+                    is_box = mtab_ref[m, M_KIND] > 0.5
+                    t1 = jnp.where(is_box, b_t1, s_t1)
+                    t2 = jnp.where(is_box, b_t2, s_t2)
+                    # logical combine, not select: Mosaic cannot legalize
+                    # arith.select on i1 vectors
+                    in_ok = (b_ok & is_box) | (s_ok & ~is_box)
 
                 t1c = jnp.maximum(t1, T_MIN)
                 t2c = jnp.minimum(t2, bt)
@@ -851,12 +960,13 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     jnp.where(take, 0.0, nz),
                 )
                 if has_tex:
-                    (tk, c2r, c2g, c2b, ivs) = carry[10:]
+                    (tk, c2r, c2g, c2b, ivs) = carry[10:15]
+                    # a medium winner is always solid-isotropic: tk -> 0
+                    # gates the pend-record emission off for it, so the img
+                    # block passes through untouched
                     out = out + (jnp.where(take, 0.0, tk), c2r, c2g, c2b,
-                                 ivs)
+                                 ivs) + tuple(carry[15:])
                 carry = out
-            if has_image:
-                carry = carry + (img_w,)
             return carry
 
         def bounce_body(state):
@@ -892,7 +1002,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             if has_tex:
                 (tk, c2r, c2g, c2b, ivs) = hitres[10:15]
             if has_image:
-                img_w = hitres[15]
+                (img_w, uq_w, vq_w, isuv_w) = hitres[15:19]
             if has_checker:
                 # 3-D lattice parity (texture.rs:63-77): odd cells take c2
                 csum = (jnp.floor(ivs * px_).astype(jnp.int32)
@@ -1006,15 +1116,20 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 is_img = tk == 2.0  # TEX_IMAGE
                 pend_alb = (alive > 0.0) & is_img & ~is_light
                 pend_emit = (alive > 0.0) & is_img & emit_gate
-                # the pending record carries the PRE-FLIP outward normal
-                # (sphere.rs:47-53; eligibility restricts image textures to
-                # spheres, so the winner's ow* is a sphere normal here) —
-                # the acos/atan2 of the UV mapping have no Mosaic lowering,
-                # so XLA derives (u, v) from it during the texel resolve
-                pend_nx, pend_ny, pend_nz = owx, owy, owz
-                pend_flag = jnp.where(pend_alb, img_w + 1.0,
-                                      jnp.where(pend_emit, -(img_w + 1.0),
-                                                0.0))
+                # SPHERE winners: the pending record carries the PRE-FLIP
+                # outward normal (sphere.rs:47-53) — the acos/atan2 of the
+                # sphere UV mapping have no Mosaic lowering, so XLA derives
+                # (u, v) from it during the texel resolve.  QUAD/BOX winners
+                # (is_uv = 1): the record carries the DIRECT (u, v) the
+                # kernel already computed, and the flag gains _UV_FLAG
+                # (texture.rs:89-109 takes (u, v) as given for those).
+                direct = isuv_w > 0.0
+                pend_nx = jnp.where(direct, uq_w, owx)
+                pend_ny = jnp.where(direct, vq_w, owy)
+                pend_nz = jnp.where(direct, 0.0, owz)
+                code = img_w + 1.0 + _UV_FLAG * isuv_w
+                pend_flag = jnp.where(pend_alb, code,
+                                      jnp.where(pend_emit, -code, 0.0))
                 lf = alive * jnp.where(emit_gate & ~is_img, 1.0, 0.0)
                 car = jnp.where(is_img, 1.0, car)
                 cag = jnp.where(is_img, 1.0, cag)
@@ -1405,6 +1520,117 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             tm = _uniform(shape) if moving else zeros
             return tm, ox0, oy0, oz0, psx - ox0, psy - oy0, psz - oz0
 
+        if persist:
+            # ---- PERSISTENT RESPAWN + TEXEL-FREEZE MODE (round 3) ----
+            # The respawn loop of ``respawn`` mode, made RESUMABLE across
+            # kernel launches so image-textured scenes can run whole samples
+            # in-kernel: a lane that hits an image texture FREEZES (its pend
+            # record set, its state preserved) and the XLA driver resolves
+            # the texel between launches; every other lane keeps walking its
+            # own samples with zero per-bounce HBM traffic.  This replaces
+            # the per-bounce segment loop for image scenes: book2_final paid
+            # ~41% of its throughput to per-segment state traffic + XLA
+            # spawn work (scripts/ablate_final.py, v5e) even though only
+            # 1 of ~1800 primitives is image-textured.
+            #
+            # HBM state rows [20]: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad,
+            # 13 alive, 14 bounce, 15 done, 16-18 banked sums, 19 mid
+            # (sample in progress / radiance unbanked).  pend rows [4] are
+            # OUTPUT-only: the driver resolves and clears them, so a launch
+            # always enters unfrozen.
+            # ``persist_iters`` > 0 bounds the in-kernel loop to K bounces
+            # per launch: for image-SPARSE scenes (book2_final: 1 earth
+            # globe among ~1800 primitives) the unlimited loop serializes on
+            # the rare earth-facing lanes — each advances only one sample
+            # per launch while every affected tile re-pays full-width
+            # iterations for a handful of resumed lanes (measured: 48
+            # launches x ~0.5 s tail, 4x slower than per-bounce segments).
+            # Bounded launches keep the whole tile marching in lockstep (the
+            # XLA driver resolves texels every K bounces) while still
+            # deleting the segment loop's per-bounce XLA spawn work — the
+            # respawn stays in-kernel.  Image-DOMINANT scenes (earth globe
+            # IS the scene) keep persist_iters=0: lanes freeze about once
+            # per sample anyway, and the unlimited loop measured +70% there.
+            off = jnp.asarray(seed_ref[1], _F32)
+
+            def pcond(c):
+                alive_, done_, mid_, pf_ = c[14], c[15], c[19], c[23]
+                work = (mid_ > 0.0) | (done_ < float(spp))
+                ok = jnp.max(
+                    jnp.where((pf_ == 0.0) & work, 1.0, 0.0)) > 0.0
+                if persist_iters:
+                    ok = ok & (c[24] < persist_iters)
+                return ok
+
+            def pbody(c):
+                (b, tm2, ox2, oy2, oz2, dx2, dy2, dz2, ax2, ay2, az2,
+                 rx2, ry2, rz2, alive, done, sx, sy, sz, mid,
+                 pa, pb, pc_, pf) = c[:24]
+                frozen = pf != 0.0
+                unfrozen = ~frozen
+                # 1) bank dead unbanked paths (incl. lanes whose emission
+                #    pend the driver just resolved into rad)
+                fin = (mid > 0.0) & (alive <= 0.0) & unfrozen
+                sx = sx + jnp.where(fin, rx2, 0.0)
+                sy = sy + jnp.where(fin, ry2, 0.0)
+                sz = sz + jnp.where(fin, rz2, 0.0)
+                done = done + jnp.where(fin, 1.0, 0.0)
+                mid = jnp.where(fin, 0.0, mid)
+                finz = jnp.where(fin, 0.0, 1.0)
+                rx2, ry2, rz2 = rx2 * finz, ry2 * finz, rz2 * finz
+                # 2) (re)spawn idle lanes with samples remaining
+                spawn_ok = unfrozen & (mid <= 0.0) & (done < float(spp))
+                tmN, oxN, oyN, ozN, dxN, dyN, dzN = spawn_rays(done + off)
+
+                def sel(n, o_):
+                    return jnp.where(spawn_ok, n, o_)
+
+                b = jnp.where(spawn_ok, 0.0, b)
+                tm2 = sel(tmN, tm2)
+                ox2, oy2, oz2 = sel(oxN, ox2), sel(oyN, oy2), sel(ozN, oz2)
+                dx2, dy2, dz2 = sel(dxN, dx2), sel(dyN, dy2), sel(dzN, dz2)
+                ax2, ay2, az2 = sel(ones, ax2), sel(ones, ay2), sel(ones, az2)
+                alive = jnp.where(spawn_ok, 1.0, alive)
+                mid = jnp.where(spawn_ok, 1.0, mid)
+                # 3) one bounce; merge only unfrozen lanes, freeze new pends
+                out = bounce_body((b, tm2, ox2, oy2, oz2, dx2, dy2, dz2,
+                                   ax2, ay2, az2, rx2, ry2, rz2, alive))
+                alive_n = jnp.where(out[0] < float(max_depth), out[14], 0.0)
+
+                def mg(n, o_):
+                    return jnp.where(unfrozen, n, o_)
+
+                nxt = (mg(out[0], b), mg(out[1], tm2),
+                       mg(out[2], ox2), mg(out[3], oy2), mg(out[4], oz2),
+                       mg(out[5], dx2), mg(out[6], dy2), mg(out[7], dz2),
+                       mg(out[8], ax2), mg(out[9], ay2), mg(out[10], az2),
+                       mg(out[11], rx2), mg(out[12], ry2), mg(out[13], rz2),
+                       mg(alive_n, alive), done, sx, sy, sz, mid,
+                       mg(out[15], pa), mg(out[16], pb), mg(out[17], pc_),
+                       mg(out[18], pf))
+                if persist_iters:
+                    nxt = nxt + (c[24] + 1,)
+                return nxt
+
+            init = (st_ref[14], st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                    st_ref[4], st_ref[5], st_ref[6], st_ref[7], st_ref[8],
+                    st_ref[9], st_ref[10], st_ref[11], st_ref[12],
+                    st_ref[13], st_ref[15], st_ref[16], st_ref[17],
+                    st_ref[18], st_ref[19], zeros, zeros, zeros, zeros)
+            if persist_iters:
+                init = init + (jnp.asarray(0, jnp.int32),)
+            final = jax.lax.while_loop(pcond, pbody, init)
+            sto_ref[14] = final[0]
+            sto_ref[0] = final[1]
+            for k in range(12):
+                sto_ref[k + 1] = final[k + 2]
+            sto_ref[13] = final[14]
+            for k in range(5):
+                sto_ref[k + 15] = final[k + 15]
+            for k in range(4):
+                pend_ref[k] = final[k + 20]
+            return
+
         if respawn:
             # ---- PERSISTENT RESPAWN MODE ----
             # state: 0 per-lane bounce count, 1-14 = bounce_body state,
@@ -1495,7 +1721,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                      "tile_rows", "has_checker", "mis", "n_lights",
                      "stratified", "sqrt_spp", "n_media", "has_noise",
                      "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
-                     "has_image", "interpret", "respawn"),
+                     "has_image", "interpret", "respawn", "unroll",
+                     "b_unroll", "media_kinds"),
 )
 def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     batab, ltab, mtab, ptab, vtab, atab,
@@ -1508,7 +1735,9 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     stratified: bool, sqrt_spp: int, n_media: int,
                     has_noise: bool, n_slabs: int, n_boxes: int,
                     n_bclusters: int, b_slabs: int, has_image: bool,
-                    interpret: bool, respawn: bool = False):
+                    interpret: bool, respawn: bool = False,
+                    unroll: int = 1, b_unroll: int = 1,
+                    media_kinds: tuple = ()):
     if has_image:
         raise ValueError(
             "image textures require the wavefront segment path "
@@ -1529,7 +1758,8 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                      n_media=n_media, has_noise=has_noise, respawn=respawn,
                      n_slabs=n_slabs, n_boxes=n_boxes,
                      n_bclusters=n_bclusters, b_slabs=b_slabs,
-                     n_sclusters=n_sclusters),
+                     n_sclusters=n_sclusters, unroll=unroll,
+                     b_unroll=b_unroll, media_kinds=media_kinds),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -1584,7 +1814,10 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                        spp: int, max_depth: int, tile_rows: int = TILE_ROWS,
                        mis: bool = False, stratified: bool = False,
                        sqrt_spp: int = 0, interpret: bool | None = None,
-                       segment: bool = False, respawn: bool = False):
+                       segment: bool = False, respawn: bool = False,
+                       unroll: int | None = None, b_unroll: int | None = None,
+                       sphere_max_leaf: int | None = None,
+                       box_max_leaf: int | None = None):
     """Host-side half of a megakernel pass: SAH clustering + table packing.
 
     Returns ``(arrays, statics)`` — a dict of device arrays (replicable
@@ -1597,6 +1830,11 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    unroll = SPHERE_UNROLL if unroll is None else unroll
+    b_unroll = BOX_UNROLL if b_unroll is None else b_unroll
+    sphere_max_leaf = (SPHERE_MAX_LEAF if sphere_max_leaf is None
+                       else sphere_max_leaf)
+    box_max_leaf = BOX_MAX_LEAF if box_max_leaf is None else box_max_leaf
     n_pix = width * height
     tiles_x = -(-width // _BLK)
     tiles_y = -(-height // _BLK)
@@ -1613,11 +1851,14 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     # -- axis-aligned box primitives: SAH-clustered slab table + winner-
     #    attribute gather slabs (mirrors the sphere atab machinery)
     if "boxes" in scene.features:
-        btab_np, border, bcls_np, bclb_np = pack_box_tables(scene)
+        btab_np, border, bcls_np, bclb_np = pack_box_tables(
+            scene, max_leaf=box_max_leaf, pad_to=b_unroll)
         n_boxes = btab_np.shape[0]
         n_bclusters = bcls_np.shape[0] - 1
         bmask = np.asarray(scene.box_mask) > 0
-        bmat = np.asarray(scene.box_mat)[bmask][border]
+        # padded rows (border < 0) borrow row-0 attributes; they can never
+        # win the slab test, so the values are never fetched
+        bmat = np.asarray(scene.box_mat)[bmask][np.maximum(border, 0)]
         bkind = np.asarray(scene.mat_kind)[bmat].astype(np.float32)
         bmtex = np.asarray(scene.mat_tex)[bmat]
         balb = np.asarray(scene.tex_color1)[bmtex].astype(np.float32)
@@ -1646,7 +1887,9 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
             batab_np.reshape(len(battrs) * b_slabs, TILE_LANES))
         btab = jnp.asarray(btab_np)
         bclb = jnp.asarray(bclb_np)
-        bcls = jnp.asarray(bcls_np, dtype=jnp.int32)
+        # pre-divided starts: the kernel's unrolled box loop iterates in
+        # b_unroll-sized steps (ranges are padded to multiples of b_unroll)
+        bcls = jnp.asarray(bcls_np // b_unroll, dtype=jnp.int32)
     else:
         n_boxes = 0
         n_bclusters = 0
@@ -1671,8 +1914,9 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         cmid = cen + 0.5 * vel
         rswept = rad + 0.5 * np.linalg.norm(vel, axis=-1)
         order, cl_start, cl_min, cl_max = build_sphere_clusters(
-            cmid, rswept, max_leaf=32)  # measured optimum on the 489-sphere
-        # flagship: 8 -> 9.8, 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
+            cmid, rswept, max_leaf=sphere_max_leaf)  # default 32: measured
+        # optimum on the 489-sphere flagship: 8 -> 9.8, 16 -> 12.9,
+        # 32 -> 13.7, 64 -> 12.8 Mpaths/s
         n_clusters = cl_start.shape[0] - 1
 
         # 2-level hierarchy: once the flat cluster scan itself gets long
@@ -1702,12 +1946,20 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                 axis=1))
             scls = jnp.asarray(s_start, dtype=jnp.int32)
 
-        tab = tab[jnp.asarray(order)]
+        # pad cluster ranges to multiples of the kernel's sphere-loop unroll
+        # with unhittable sentinel rows (r2 = -BIG => disc < 0 always), then
+        # pre-divide the starts to body-iteration units
+        order, cl_start = _pad_cluster_ranges(order, cl_start, unroll)
+        dead = order < 0
+        tab = tab[jnp.asarray(np.maximum(order, 0))]
+        if dead.any():
+            tab = tab.at[:, J_R2].set(
+                jnp.where(jnp.asarray(dead), -_BIG, tab[:, J_R2]))
         clb = jnp.asarray(
             np.concatenate(
                 [cl_min, cl_max, np.zeros((n_clusters, 2), np.float32)],
                 axis=1))
-        cls = jnp.asarray(cl_start, dtype=jnp.int32)
+        cls = jnp.asarray(cl_start // unroll, dtype=jnp.int32)
     else:
         n_clusters = 0
         n_sclusters = 0
@@ -1715,6 +1967,11 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         cls = jnp.zeros(2, jnp.int32)
         sclb = jnp.zeros((1, 8), _F32)
         scls = jnp.zeros(2, jnp.int32)
+        if unroll > 1 and tab.shape[0] % unroll:
+            # flat-scan path: pad the table itself to a multiple of unroll
+            padrow = tab[:1].at[:, J_R2].set(-_BIG)
+            tab = jnp.concatenate(
+                [tab] + [padrow] * ((-tab.shape[0]) % unroll))
 
     # winner-attribute gather table: selected columns of the (cluster-
     # reordered) sphere table, laid out as [n_attrs * n_slabs, 128] so each
@@ -1753,9 +2010,14 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     if "media" in scene.features:
         mtab_np, n_media = pack_media_table(scene)
         mtab = jnp.asarray(mtab_np)
+        # static per-medium kinds (0 sphere / 1 box): each medium compiles
+        # only its own boundary test in-kernel
+        media_kinds = tuple(
+            int(v) for v in np.asarray(mtab_np)[:n_media, M_KIND])
     else:
         n_media = 0
         mtab = jnp.zeros((1, M_COLS), _F32)
+        media_kinds = ()
 
     has_noise = "noise" in scene.features
     if has_noise:
@@ -1782,7 +2044,8 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                   ptab=ptab, vtab=vtab, atab=atab, cam_u=cam_u, bg=bg)
     statics = dict(
         n_quads=n_quads, n_clusters=n_clusters, n_sclusters=n_sclusters,
-        n_media=n_media,
+        n_media=n_media, media_kinds=media_kinds,
+        unroll=unroll, b_unroll=b_unroll,
         has_noise=has_noise, n_slabs=n_slabs, has_image=has_image,
         n_boxes=n_boxes, n_bclusters=n_bclusters, b_slabs=b_slabs,
         moving=moving, max_depth=max_depth,
@@ -1823,7 +2086,11 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
                            mis: bool = False, stratified: bool = False,
                            sqrt_spp: int = 0,
                            interpret: bool | None = None,
-                           respawn: bool = False) -> jnp.ndarray:
+                           respawn: bool = False,
+                           unroll: int | None = None,
+                           b_unroll: int | None = None,
+                           sphere_max_leaf: int | None = None,
+                           box_max_leaf: int | None = None) -> jnp.ndarray:
     """Whole-image render pass in ONE kernel launch: in-kernel ray
     generation, spp loop, and bounce loop.  Returns the radiance SUM
     [H, W, 3] — the same contract as render.render_pass.
@@ -1836,5 +2103,7 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     arrays, statics = prepare_megakernel(
         scene, cam, width=width, height=height, spp=spp, max_depth=max_depth,
         tile_rows=tile_rows, mis=mis, stratified=stratified,
-        sqrt_spp=sqrt_spp, interpret=interpret, respawn=respawn)
+        sqrt_spp=sqrt_spp, interpret=interpret, respawn=respawn,
+        unroll=unroll, b_unroll=b_unroll, sphere_max_leaf=sphere_max_leaf,
+        box_max_leaf=box_max_leaf)
     return megakernel_pass_from_prepared(arrays, statics, key, sample_offset)

@@ -65,15 +65,36 @@ from .textures import image_texel
 _GOLDEN = -1640531527  # 0x9E3779B9 as i32 — the reference's per-pass seed
 #                         stride (src/gpu/mod.rs:454)
 
+# Bounces per persist launch, swept on v5e (scripts/bench_persist.py,
+# Mpaths/s at launch bounds seg/inf/4/8/16/32):
+#   book2_final (image-SPARSE, texel gate on):  5.6 / 1.2 / 7.3 / 6.5 / 5.0 / 3.6
+#   book2_earth (image-DENSE,  texel gate off): 39.2 / 67.6 / 78.1 / 78.2 / 76.3 / 72.4
+# Small bounds win even on earth: frozen lanes idle inside a long launch,
+# so resolving texels every few bounces keeps whole tiles marching.
+PERSIST_SPARSE_ITERS = 4
+PERSIST_DENSE_ITERS = 8
+
 
 def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
-    """Image-textured scenes where every image texture sits on a SPHERE
-    material (true for every reference scene: earth globe in book2_earth and
-    book2_final_scene).  Non-image scenes use the faster monolithic
-    megakernel; image-on-quad/box/media scenes fall back to XLA."""
+    """Image-textured scenes where image textures sit on SPHERE or QUAD
+    materials (spheres emit the outward normal for XLA to derive UV from;
+    quads emit their direct planar (u, v) — round 3 lifted the round-2
+    sphere-only restriction; image-textured BOXES are baked to quads by
+    SceneBuilder.add_box, so they ride the quad path).  Only image-textured
+    MEDIA still fall back to XLA (the reference's ConstantMedium never sets
+    real UVs, constant_medium.rs:69-75, so nothing real is excluded).
+
+    integrator="mis" (round 3): the segment kernel now compiles the in-kernel
+    NEE/MIS closures too, under the same light/isotropic constraints as
+    megakernel_mis_eligible — image+MIS scenes no longer fall to XLA."""
     import numpy as np
 
-    if integrator != "path":
+    if integrator == "mis":
+        from .pallas_megakernel import mis_lights_ok
+
+        if not mis_lights_ok(scene):
+            return False
+    elif integrator != "path":
         return False
     feats = set(scene.features)
     if "image" not in feats:
@@ -81,9 +102,7 @@ def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
     tex_kind = np.asarray(scene.tex_kind)
     mat_tex = np.asarray(scene.mat_tex)
     img_mats = set(np.nonzero(tex_kind[mat_tex] == TEX_IMAGE)[0].tolist())
-    for mats, mask in ((scene.quad_mat, scene.quad_mask),
-                       (scene.box_mat, scene.box_mask),
-                       (scene.msph_mat, scene.msph_mask),
+    for mats, mask in ((scene.msph_mat, scene.msph_mask),
                        (scene.mbox_mat, scene.mbox_mask)):
         used = set(np.asarray(mats)[np.asarray(mask) > 0].tolist())
         if used & img_mats:
@@ -92,8 +111,9 @@ def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
 
 
 SEG_KEYS = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
-            "has_checker", "n_media", "has_noise", "n_slabs", "n_boxes",
-            "n_bclusters", "b_slabs", "has_image", "interpret")
+            "has_checker", "n_media", "media_kinds", "has_noise", "n_slabs",
+            "n_boxes", "n_bclusters", "b_slabs", "has_image", "interpret",
+            "unroll", "b_unroll", "mis", "n_lights")
 
 
 def seg_statics_tuple(statics: dict) -> tuple:
@@ -117,9 +137,13 @@ def texel_gate_heuristic(scene: Scene) -> bool:
     tex_kind = np.asarray(scene.tex_kind)
     mat_tex = np.asarray(scene.mat_tex)
     img_mat = tex_kind[mat_tex] == TEX_IMAGE
-    sph_img = int(np.sum((np.asarray(scene.sph_mask) > 0)
-                         & img_mat[np.asarray(scene.sph_mat)]))
-    return active_primitive_count(scene) > 8 * max(sph_img, 1)
+    n_img = 0
+    for mats, mask in ((scene.sph_mat, scene.sph_mask),
+                       (scene.quad_mat, scene.quad_mask),
+                       (scene.box_mat, scene.box_mask)):
+        n_img += int(np.sum((np.asarray(mask) > 0)
+                            & img_mat[np.asarray(mats)]))
+    return active_primitive_count(scene) > 8 * max(n_img, 1)
 
 
 @functools.partial(
@@ -127,8 +151,9 @@ def texel_gate_heuristic(scene: Scene) -> bool:
     static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
                      "max_depth",
                      "sky_bg", "rows", "tile_rows", "has_checker", "n_media",
-                     "has_noise", "n_slabs", "n_boxes", "n_bclusters",
-                     "b_slabs", "has_image", "interpret"),
+                     "media_kinds", "has_noise", "n_slabs", "n_boxes",
+                     "n_bclusters", "b_slabs", "has_image", "interpret",
+                     "unroll", "b_unroll", "mis", "n_lights"),
 )
 def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                        batab, ltab,
@@ -137,9 +162,11 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                        moving: bool,
                        max_depth: int, sky_bg: bool, rows: int,
                        tile_rows: int, has_checker: bool, n_media: int,
-                       has_noise: bool, n_slabs: int, n_boxes: int,
+                       media_kinds: tuple, has_noise: bool, n_slabs: int,
+                       n_boxes: int,
                        n_bclusters: int, b_slabs: int, has_image: bool,
-                       interpret: bool):
+                       interpret: bool, unroll: int = 1, b_unroll: int = 1,
+                       mis: bool = False, n_lights: int = 0):
     """One bounce for every ray: st [15, rows, 128] -> (st', pending [4,...]).
 
     State rows: 0 tm, 1-3 origin, 4-6 direction, 7-9 attenuation,
@@ -158,10 +185,13 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
     kernel = _make_kernel(
         tab.shape[1], n_quads, n_clusters, moving, max_depth, sky_bg,
         spp=1, width=1, height=1, defocus=False, tile_rows=tile_rows,
-        has_checker=has_checker, mis=False, n_lights=0, stratified=False,
-        sqrt_spp=0, n_media=n_media, has_noise=has_noise, n_slabs=n_slabs,
+        has_checker=has_checker, mis=mis, n_lights=n_lights,
+        stratified=False,
+        sqrt_spp=0, n_media=n_media, media_kinds=media_kinds,
+        has_noise=has_noise, n_slabs=n_slabs,
         n_boxes=n_boxes, n_bclusters=n_bclusters, b_slabs=b_slabs,
-        n_sclusters=n_sclusters, segment=True, has_image=has_image)
+        n_sclusters=n_sclusters, segment=True, has_image=has_image,
+        unroll=unroll, b_unroll=b_unroll)
     return pl.pallas_call(
         kernel,
         out_shape=outs,
@@ -190,6 +220,187 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         interpret=interpret,
     )(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab, ltab, mtab,
       ptab, vtab, atab, seed, bg, st)
+
+
+PERSIST_KEYS = SEG_KEYS + ("spp", "width", "height", "defocus",
+                           "stratified", "sqrt_spp")
+
+
+def persist_statics_tuple(statics: dict) -> tuple:
+    """Hashable static-kwargs for _persist_raw (single source of truth for
+    the single-chip and spp-sharded persist drivers)."""
+    return tuple(sorted((k, statics[k]) for k in PERSIST_KEYS))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
+                     "max_depth", "sky_bg", "rows", "tile_rows",
+                     "has_checker", "n_media", "media_kinds", "has_noise",
+                     "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
+                     "has_image", "interpret", "unroll", "b_unroll", "mis",
+                     "n_lights", "spp", "width", "height", "defocus",
+                     "stratified", "sqrt_spp", "persist_iters"),
+)
+def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
+                 batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, st, seed, *,
+                 n_quads: int, n_clusters: int, n_sclusters: int,
+                 moving: bool, max_depth: int, sky_bg: bool, rows: int,
+                 tile_rows: int, has_checker: bool, n_media: int,
+                 media_kinds: tuple, has_noise: bool, n_slabs: int,
+                 n_boxes: int, n_bclusters: int, b_slabs: int,
+                 has_image: bool, interpret: bool, unroll: int,
+                 b_unroll: int, mis: bool, n_lights: int, spp: int,
+                 width: int, height: int, defocus: bool, stratified: bool,
+                 sqrt_spp: int, persist_iters: int = 0):
+    """ONE launch of the persistent respawn+texel-freeze kernel: every lane
+    advances through its own samples until it finishes them all or FREEZES
+    on an image-texture hit (pend record set).  st [20, rows, 128] ->
+    (st', pend [4, rows, 128]); see the kernel's persist branch for the
+    state-row layout."""
+    if not has_image:
+        raise ValueError("persist mode is the image-texture path; "
+                         "non-image scenes use respawn mode")
+    grid = (rows // tile_rows,)
+    st_spec = pl.BlockSpec((20, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    pend_spec = pl.BlockSpec((4, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    smem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.SMEM)
+    vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
+    outs = (jax.ShapeDtypeStruct((20, rows, TILE_LANES), _F32),
+            jax.ShapeDtypeStruct((4, rows, TILE_LANES), _F32))
+    kernel = _make_kernel(
+        tab.shape[1], n_quads, n_clusters, moving, max_depth, sky_bg,
+        spp=spp, width=width, height=height, defocus=defocus,
+        tile_rows=tile_rows, has_checker=has_checker, mis=mis,
+        n_lights=n_lights, stratified=stratified, sqrt_spp=sqrt_spp,
+        n_media=n_media, media_kinds=media_kinds, has_noise=has_noise,
+        n_slabs=n_slabs, n_boxes=n_boxes, n_bclusters=n_bclusters,
+        b_slabs=b_slabs, n_sclusters=n_sclusters, has_image=has_image,
+        unroll=unroll, b_unroll=b_unroll, persist=True,
+        persist_iters=persist_iters)
+    return pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid=grid,
+        in_specs=[
+            smem(*tab.shape),
+            smem(qtab.shape[0], Q_COLS),
+            smem(clb.shape[0], 8),
+            smem(cls.shape[0]),
+            smem(sclb.shape[0], 8),
+            smem(scls.shape[0]),
+            smem(btab.shape[0], B_COLS),
+            smem(bclb.shape[0], 8),
+            smem(bcls.shape[0]),
+            vmem(batab.shape[0], TILE_LANES),
+            smem(ltab.shape[0], L_COLS),
+            smem(mtab.shape[0], M_COLS),
+            vmem(6, TILE_LANES),
+            vmem(6, TILE_LANES),
+            vmem(atab.shape[0], TILE_LANES),
+            smem(20),
+            smem(2),
+            smem(4),
+            st_spec,
+        ],
+        out_specs=(st_spec, pend_spec),
+        interpret=interpret,
+    )(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab, ltab, mtab,
+      ptab, vtab, atab, cam_u, seed, bg, st)
+
+
+def _resolve_texels(scene: Scene, atten, rad, pend):
+    """XLA half of the deferred-texel protocol: decode the pend record
+    ((u,v) direct for quads, sphere normal otherwise — see _UV_FLAG),
+    gather the texel, and apply it (+flag: multiply into the attenuation;
+    -flag: add attenuation*texel emission into the radiance).  Returns
+    (atten', rad')."""
+    from .pallas_megakernel import _UV_FLAG
+
+    nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
+    pi_ = jnp.float32(jnp.pi)
+    code = jnp.abs(flag)
+    direct = code >= _UV_FLAG  # quad: (nx_, ny_) IS (u, v)
+    th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
+    ph_ = jnp.arctan2(-nz_, nx_) + pi_
+    pu = jnp.where(direct, nx_, ph_ * (0.5 / pi_))
+    pv = jnp.where(direct, ny_, th_ * (1.0 / pi_))
+    img_id = jnp.clip(
+        (code - jnp.where(direct, _UV_FLAG, 0.0) - 1.0).astype(jnp.int32),
+        0, scene.images.shape[0] - 1)
+    texel = jnp.moveaxis(image_texel(scene, img_id, pu, pv), -1, 0)
+    mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
+    add = jnp.where(flag[None, :, :] < -0.5, texel, 0.0) * atten
+    return atten * mul, rad + add
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "rows", "tile_rows", "statics",
+                     "gate_texels", "persist_iters"),
+)
+def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
+                            *, spp: int, max_depth: int, rows: int,
+                            tile_rows: int, statics: tuple,
+                            gate_texels: bool = True,
+                            persist_iters: int = 0):
+    """Image-scene render pass via the PERSIST kernel: whole samples run
+    in-kernel (camera respawn included); a launch returns only when every
+    lane has finished its ``spp`` samples or sits FROZEN on an image-texture
+    hit, and the driver resolves the frozen lanes' texels between launches.
+    Launch count ~ max per-lane image-hit count (1 + hits), NOT
+    spp x E[path length] — the per-bounce segment tax is gone for every
+    lane that isn't looking at the globe.  Returns [R, 3] radiance sums."""
+    stat = dict(statics)
+    R = rows * TILE_LANES
+    seg_args = (arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
+                arrays["sclb"], arrays["scls"],
+                arrays["btab"], arrays["bclb"], arrays["bcls"],
+                arrays["batab"], arrays["ltab"], arrays["mtab"],
+                arrays["ptab"], arrays["vtab"], arrays["atab"], arrays["bg"],
+                arrays["cam_u"])
+    key = jax.random.fold_in(key, sample_offset)
+    seed_base = jax.random.key_data(
+        jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
+    st0 = jnp.zeros((20, rows, TILE_LANES), _F32)
+    max_launches = spp * max_depth + 2  # 1 freeze/bounce worst case
+
+    def cond(c):
+        g, st = c
+        work = (st[19] > 0.0) | (st[15] < float(spp))
+        return (g < max_launches) & (jnp.max(
+            jnp.where(work, 1.0, 0.0)) > 0.0)
+
+    def body(c):
+        g, st = c
+        seed = jnp.stack(
+            [jax.lax.bitwise_xor(seed_base, g * _GOLDEN), sample_offset]
+        ).astype(jnp.int32)
+        st2, pend = _persist_raw(
+            *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
+            max_depth=max_depth, persist_iters=persist_iters, **stat)
+        flag = pend[3]
+
+        def _resolve(st2_):
+            atten, rad = _resolve_texels(scene, st2_[7:10], st2_[10:13],
+                                         pend)
+            st2_ = st2_.at[7:10].set(atten)
+            return st2_.at[10:13].set(rad)
+
+        if gate_texels:
+            st2 = jax.lax.cond(jnp.max(jnp.abs(flag)) > 0.0,
+                               _resolve, lambda s: s, st2)
+        else:
+            st2 = _resolve(st2)
+        return g + 1, st2
+
+    _, st = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), st0))
+    return st[16:19].reshape(3, R).T  # [R, 3] banked radiance sums
 
 
 def _slot_pixels(width: int, height: int, tile_rows: int):
@@ -308,26 +519,14 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
             # resolve deferred texels: +flag multiplies the attenuation,
             # -flag adds light emission (atten unchanged by the kernel
             # for light lanes, so this is the attenuation AT the hit).
-            # Sphere UV from the pre-flip outward normal the kernel
-            # emitted (sphere.rs:47-53) — exact, in XLA where acos/atan2
-            # are native.
-            nx_, ny_, nz_, flag = pend[0], pend[1], pend[2], pend[3]
+            # Decoding (sphere normal vs direct quad UV) in _resolve_texels.
+            flag = pend[3]
 
             def _resolve(st2_):
-                pi_ = jnp.float32(jnp.pi)
-                th_ = jnp.arccos(jnp.clip(-ny_, -1.0, 1.0))
-                ph_ = jnp.arctan2(-nz_, nx_) + pi_
-                pu = ph_ * (0.5 / pi_)
-                pv = th_ * (1.0 / pi_)
-                img_id = jnp.clip((jnp.abs(flag) - 1.0).astype(jnp.int32),
-                                  0, scene.images.shape[0] - 1)
-                texel = jnp.moveaxis(
-                    image_texel(scene, img_id, pu, pv), -1, 0)  # [3,rows,128]
-                mul = jnp.where(flag[None, :, :] > 0.5, texel, 1.0)
-                add = (jnp.where(flag[None, :, :] < -0.5, texel, 0.0)
-                       * st2_[7:10])
-                st2_ = st2_.at[7:10].multiply(mul)
-                return st2_.at[10:13].add(add)
+                atten, rad = _resolve_texels(scene, st2_[7:10],
+                                             st2_[10:13], pend)
+                st2_ = st2_.at[7:10].set(atten)
+                return st2_.at[10:13].set(rad)
 
             if gate_texels:
                 # segments where NO lane hit an image sphere skip the
@@ -382,11 +581,7 @@ def wavefront_tile_rows(scene: Scene) -> int:
     flagship (489): 22.4/25.7/24.4/23.1 at 32/64/96/128; book2_final
     (~1800): 5.41/5.46/4.77 at 32/64/128; sphere_field_10k (10k):
     8.02/7.67 at 32/64."""
-    import numpy as np
-
-    n = int(sum(float(np.asarray(m).sum()) for m in (
-        scene.sph_mask, scene.quad_mask, scene.box_mask,
-        scene.msph_mask, scene.mbox_mask)))
+    n = active_primitive_count(scene)
     if n <= 4:
         return 128
     if n <= 4000:
@@ -397,15 +592,24 @@ def wavefront_tile_rows(scene: Scene) -> int:
 def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                           spp: int, max_depth: int, sample_offset=0,
                           stratified: bool = False, sqrt_spp: int = 0,
+                          mis: bool = False,
                           tile_rows: int | None = None,
-                          interpret: bool | None = None) -> jnp.ndarray:
+                          interpret: bool | None = None,
+                          unroll: int | None = None,
+                          b_unroll: int | None = None,
+                          sphere_max_leaf: int | None = None,
+                          box_max_leaf: int | None = None,
+                          per_bounce_segments: bool = False) -> jnp.ndarray:
     """Whole-image wavefront render pass; returns the radiance SUM [H, W, 3]
     (the same contract as render.render_pass).
 
     Non-image scenes run the PERSISTENT RESPAWN megakernel (the respawn
     loop fully in-kernel — zero per-segment HBM state traffic); image
     scenes run the segmented loop below, whose XLA driver resolves the
-    deferred texels between bounces."""
+    deferred texels between bounces.  ``mis=True`` compiles the in-kernel
+    book-3 NEE/MIS closures into the segment kernel (round 3: image+MIS
+    scenes no longer fall to XLA; eligibility = wavefront_eligible(.,
+    "mis"))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if "image" not in scene.features:
@@ -414,18 +618,42 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
-            stratified=stratified, sqrt_spp=sqrt_spp,
+            stratified=stratified, sqrt_spp=sqrt_spp, mis=mis,
             tile_rows=(tile_rows if tile_rows is not None
-                       else respawn_tile_rows(scene)),
-            interpret=interpret, respawn=True)
+                       else respawn_tile_rows(scene, mis=mis)),
+            interpret=interpret, respawn=True, unroll=unroll,
+            b_unroll=b_unroll, sphere_max_leaf=sphere_max_leaf,
+            box_max_leaf=box_max_leaf)
     if tile_rows is None:
         tile_rows = wavefront_tile_rows(scene)
     arrays, statics = prepare_megakernel(
-        scene, cam, width=width, height=height, spp=1, max_depth=max_depth,
-        tile_rows=tile_rows, interpret=interpret, segment=True)
+        scene, cam, width=width, height=height,
+        spp=(1 if per_bounce_segments else spp), max_depth=max_depth,
+        tile_rows=tile_rows, interpret=interpret, segment=True, mis=mis,
+        stratified=stratified, sqrt_spp=sqrt_spp,
+        unroll=unroll, b_unroll=b_unroll, sphere_max_leaf=sphere_max_leaf,
+        box_max_leaf=box_max_leaf)
+    key = jax.random.fold_in(key, 0x5EED)  # disjoint from megakernel streams
+    if not per_bounce_segments:
+        # PERSIST kernel (round 3 default): samples run in-kernel with
+        # in-kernel respawn, bounded to a few bounces per launch so frozen
+        # texel lanes never serialize whole tiles (earth 78.2 Mpaths/s vs
+        # 39.2 segmented; final 7.3 vs 5.6 — see PERSIST_*_ITERS sweep)
+        gate = texel_gate_heuristic(scene)
+        accum = _wavefront_pass_persist(
+            scene, arrays, key, jnp.asarray(sample_offset, jnp.int32),
+            spp=spp, max_depth=max_depth, rows=statics["rows"],
+            tile_rows=tile_rows, statics=persist_statics_tuple(statics),
+            gate_texels=gate,
+            persist_iters=(PERSIST_SPARSE_ITERS if gate
+                           else PERSIST_DENSE_ITERS))
+        return accum[_unswizzle_index(width, height)].reshape(
+            height, width, 3)
+    if mis:
+        raise ValueError("per_bounce_segments mode does not drive MIS; "
+                         "use the persist path")
     px, py, rows = _slot_pixels(width, height, tile_rows)
     seg_statics = seg_statics_tuple(statics)
-    key = jax.random.fold_in(key, 0x5EED)  # disjoint from megakernel streams
     accum = _wavefront_pass(
         scene, arrays, cam, key, px, py,
         jnp.asarray(sample_offset, jnp.int32),

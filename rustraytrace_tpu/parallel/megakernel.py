@@ -148,7 +148,7 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
                 scene, cam, key, width=w, height=h, spp=this,
                 max_depth=cfg.max_depth, mesh=mesh,
                 stratified=stratified, sqrt_spp=sqrt_spp,
-                sample_offset=done)
+                mis=integrator == "mis", sample_offset=done)
         else:
             acc_pass = render_pass_megakernel_sharded(
                 scene, cam, key, width=w, height=h, spp=this,
@@ -182,7 +182,7 @@ def wavefront_shard_eligible(scene: Scene, integrator: str,
 def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                   height: int, spp: int, max_depth: int,
                                   mesh: Mesh, stratified: bool = False,
-                                  sqrt_spp: int = 0,
+                                  sqrt_spp: int = 0, mis: bool = False,
                                   sample_offset: int = 0) -> jnp.ndarray:
     """spp-sharded WAVEFRONT pass (image-textured scenes): host table prep
     once, per-device segmented bounce loops at device-distinct sample
@@ -202,15 +202,17 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     resolve.
     """
     from ..ops.pallas_megakernel import _unswizzle_index, prepare_megakernel
-    from ..ops.pallas_wavefront import (_slot_pixels, _wavefront_pass,
-                                        seg_statics_tuple,
+    from ..ops.pallas_wavefront import (PERSIST_DENSE_ITERS,
+                                        PERSIST_SPARSE_ITERS,
+                                        _wavefront_pass_persist,
+                                        persist_statics_tuple,
                                         texel_gate_heuristic,
                                         wavefront_tile_rows)
 
     if "image" not in scene.features:
         return render_pass_megakernel_sharded(
             scene, cfg_cam, key, width=width, height=height, spp=spp,
-            max_depth=max_depth, mesh=mesh, mis=False,
+            max_depth=max_depth, mesh=mesh, mis=mis,
             stratified=stratified, sqrt_spp=sqrt_spp,
             sample_offset=sample_offset, respawn=True)
 
@@ -219,23 +221,24 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     spp_local = -(-spp // n)
     tile_rows = wavefront_tile_rows(scene)
     arrays, statics = prepare_megakernel(
-        scene, cfg_cam, width=width, height=height, spp=1,
+        scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, tile_rows=tile_rows, interpret=False,
-        segment=True)
-    px, py, rows = _slot_pixels(width, height, tile_rows)
-    seg_statics = seg_statics_tuple(statics)
+        segment=True, mis=mis, stratified=stratified, sqrt_spp=sqrt_spp)
+    p_statics = persist_statics_tuple(statics)
     key = jax.random.fold_in(key, 0x5EED)  # match render_pass_wavefront
     offsets = sample_offset + jnp.arange(n, dtype=jnp.int32) * spp_local
     unswz = _unswizzle_index(width, height)
 
     def pass_fn(args, key, off):
-        scene_, arrays_, px_, py_ = args
-        acc = _wavefront_pass(
-            scene_, arrays_, cfg_cam, key, px_, py_, off,
-            spp=spp_local, max_depth=max_depth, rows=rows,
-            tile_rows=tile_rows, stratified=stratified, sqrt_spp=sqrt_spp,
-            statics=seg_statics, gate_texels=gate_texels)
+        scene_, arrays_ = args
+        acc = _wavefront_pass_persist(
+            scene_, arrays_, key, off,
+            spp=spp_local, max_depth=max_depth, rows=statics["rows"],
+            tile_rows=tile_rows, statics=p_statics,
+            gate_texels=gate_texels,
+            persist_iters=(PERSIST_SPARSE_ITERS if gate_texels
+                           else PERSIST_DENSE_ITERS))
         return acc[unswz].reshape(height, width, 3)
 
     return sharded_megakernel_wiring(
-        pass_fn, (scene, arrays, px, py), key, offsets, mesh)
+        pass_fn, (scene, arrays), key, offsets, mesh)

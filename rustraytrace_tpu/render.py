@@ -110,19 +110,17 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
             tile_rows=respawn_tile_rows(scene, mis=mis),
         )
     if backend == "wavefront":
-        if integrator != "path":
-            # the segment/respawn kernels run mis=False; silently rendering
-            # book 3 with the plain-path estimator would change semantics
+        if integrator not in ("path", "mis"):
             raise ValueError(
-                "backend='wavefront' supports only the 'path' integrator; "
-                "use 'megakernel' (in-kernel NEE/MIS) or 'xla' for "
-                f"integrator={integrator!r}")
+                f"backend='wavefront' does not support integrator="
+                f"{integrator!r}")
         from .ops.pallas_wavefront import render_pass_wavefront
 
         return render_pass_wavefront(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
             stratified=stratified, sqrt_spp=sqrt_spp,
+            mis=integrator == "mis",
         )
     return _render_pass_xla(
         scene, cam, key, width=width, height=height, spp=spp,
@@ -222,8 +220,10 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
     if integrator == "mis" and on_tpu and megakernel_mis_eligible(scene):
         return "megakernel"
     # image-textured scenes: the segmented wavefront kernel with XLA texel
-    # resolve between bounces (book2_earth, book2_final_scene)
-    if integrator == "path" and on_tpu and wavefront_eligible(scene):
+    # resolve between bounces (book2_earth, book2_final_scene); round 3
+    # extends it to the MIS estimator (image+MIS no longer falls to XLA)
+    if integrator in ("path", "mis") and on_tpu and wavefront_eligible(
+            scene, integrator):
         return "wavefront"
     if integrator == "path" and sphere_kernel_eligible(scene):
         return "sphere_kernel"

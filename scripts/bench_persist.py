@@ -1,0 +1,84 @@
+"""Persist-kernel vs per-bounce-segment head-to-head on image scenes (r3).
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_persist.py [case ...]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CASES = {
+    "earth": ("book2_earth",
+              dict(image_width=800, samples_per_pixel=64, max_depth=50),
+              64, 50),
+    "final": ("book2_final_scene",
+              dict(image_width=800, samples_per_pixel=64, max_depth=40),
+              64, 40),
+}
+
+
+def main():
+    import jax
+
+    from rustraytrace_tpu import models
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.ops.pallas_megakernel import (TILE_LANES,
+                                                        prepare_megakernel)
+    from rustraytrace_tpu.ops.pallas_wavefront import (
+        _unswizzle_index, _wavefront_pass_persist, persist_statics_tuple,
+        render_pass_wavefront, texel_gate_heuristic, wavefront_tile_rows)
+    from rustraytrace_tpu.utils.metrics import time_best
+
+    import jax.numpy as jnp
+
+    names = sys.argv[1:] or list(CASES)
+    for name in names:
+        sc, ov, spp, depth = CASES[name]
+        scene, cfg, _ = getattr(models, sc)(ov)
+        cam = derive_camera(cfg)
+        w, h = cfg.image_width, cfg.image_height
+        tile_rows = wavefront_tile_rows(scene)
+        arrays, statics = prepare_megakernel(
+            scene, cam, width=w, height=h, spp=spp, max_depth=depth,
+            tile_rows=tile_rows, interpret=False, segment=True)
+        p_stat = persist_statics_tuple(statics)
+        gate = texel_gate_heuristic(scene)
+        variants = [("persist_2", ("p", 2)), ("persist_3", ("p", 3)),
+                    ("persist_4", ("p", 4)), ("persist_6", ("p", 6))]
+        for label, mode in variants:
+            key = jax.random.key(0)
+
+            def go():
+                if mode[0] == "seg":
+                    return render_pass_wavefront(
+                        scene, cam, key, width=w, height=h, spp=spp,
+                        max_depth=depth, per_bounce_segments=True)
+                acc = _wavefront_pass_persist(
+                    scene, arrays, jax.random.fold_in(key, 0x5EED),
+                    jnp.asarray(0, jnp.int32), spp=spp, max_depth=depth,
+                    rows=statics["rows"], tile_rows=tile_rows,
+                    statics=p_stat, gate_texels=gate,
+                    persist_iters=mode[1])
+                return acc[_unswizzle_index(w, h)].reshape(h, w, 3)
+
+            try:
+                t0 = time.perf_counter()
+                r = np.asarray(go())
+                warm = time.perf_counter() - t0
+                el = time_best(go)
+                print(json.dumps({
+                    "case": name, "variant": label,
+                    "paths_per_s": round(w * h * spp / el, 1),
+                    "mean": round(float(r.mean() / spp), 5),
+                    "warm_s": round(warm, 1),
+                }), flush=True)
+            except Exception as e:  # pragma: no cover
+                print(json.dumps({"case": name, "variant": label,
+                                  "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
