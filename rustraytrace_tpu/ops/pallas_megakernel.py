@@ -393,18 +393,16 @@ def active_primitive_count(scene: Scene) -> int:
 
 
 def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
-    """Measured tile height for the PERSISTENT RESPAWN kernel (v5e
-    head-to-head, scripts/bench_backends.py, one process, Mpaths/s at
-    32/64 rows): flagship 23.2/25.9, cornell_d20 24.3/33.7, smoke
-    24.0/37.5, quads 18.2/26.0, bouncing 6.5/6.7 — 64 wins broadly
-    (respawn keeps every lane live, so the monolithic kernel's
-    small-tile cull-granularity argument no longer applies).  Exceptions
-    where 64 regressed: perlin 14.6/11.6 (the turbulence slab tables push
-    VMEM), MIS 27.6/26.9 (unrolled light loops), >4k primitives 8.1/7.8
-    (field10k; bigger cluster tables)."""
-    if mis or ("noise" in scene.features):
-        return 32
-    return 32 if active_primitive_count(scene) > 4000 else 64
+    """Measured tile height for the PERSISTENT RESPAWN kernel.
+
+    Round 3 re-sweep under the unrolled intersect loops (v5e, one process,
+    Mpaths/s at 16/32/64 rows): flagship 32.4/33.5/29.5, cornell_d20
+    35.6/39.1/35.9, smoke 35.8/36.8/34.2, cornell_mis 50.4/53.3/49.1,
+    field10k 9.3/10.0/8.2, perlin 20.9/21.0/21.2 — 32 wins or ties
+    everywhere (unroll=4 quarters the per-iteration scalar overhead that
+    used to favor 64-row tiles), so the round-2 scene-conditional rule
+    collapsed to a constant."""
+    return 32
 
 
 def _uniform(shape):
@@ -2059,6 +2057,30 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     return arrays, statics
 
 
+_PREP_CACHE: list = []  # [(scene, cam, kw_tuple, arrays, statics)]
+_PREP_CACHE_MAX = 4
+
+
+def prepare_megakernel_cached(scene: Scene, cam, **kw):
+    """prepare_megakernel with a tiny identity-keyed cache: the host-side
+    SAH clustering + table packing + device transfer is identical across
+    the passes of one render (and across bench repeats), but used to be
+    re-done per pass — at 64 spp/pass it cost small scenes up to ~40% of
+    wall time (earth via render_pass: 49 vs 78 Mpaths/s prepared-once).
+    Entries hold STRONG references and are checked with ``is`` on both
+    scene and camera, so id() reuse after GC can never alias a stale
+    entry; the cache keeps the last few (scene, cam, kwargs) combos."""
+    kw_t = tuple(sorted(kw.items()))
+    for ent in _PREP_CACHE:
+        if ent[0] is scene and ent[1] is cam and ent[2] == kw_t:
+            return ent[3], ent[4]
+    arrays, statics = prepare_megakernel(scene, cam, **kw)
+    _PREP_CACHE.append((scene, cam, kw_t, arrays, statics))
+    if len(_PREP_CACHE) > _PREP_CACHE_MAX:
+        _PREP_CACHE.pop(0)
+    return arrays, statics
+
+
 def megakernel_pass_from_prepared(arrays: dict, statics: dict, key,
                                   sample_offset) -> jnp.ndarray:
     """Device half of a megakernel pass: seed derivation + kernel launch +
@@ -2100,7 +2122,7 @@ def render_pass_megakernel(scene: Scene, cam, key, *, width: int, height: int,
     axon runtime intermittently stalls multi-minute on the first execution
     of an executable with many queued pallas launches.
     """
-    arrays, statics = prepare_megakernel(
+    arrays, statics = prepare_megakernel_cached(
         scene, cam, width=width, height=height, spp=spp, max_depth=max_depth,
         tile_rows=tile_rows, mis=mis, stratified=stratified,
         sqrt_spp=sqrt_spp, interpret=interpret, respawn=respawn,

@@ -1,12 +1,24 @@
-"""Wavefront (segmented) Pallas path tracing: image textures on the fast path.
+"""Wavefront Pallas path tracing: image textures on the fast path.
 
 The monolithic megakernel (pallas_megakernel.py) cannot fetch megapixel
 texels in-kernel — Mosaic dynamic gathers are confined to one 128-lane tile.
-This module runs the SAME kernel code one bounce at a time ("segment mode",
-``_make_kernel(segment=True)``), carrying the ray state (origin, direction,
-attenuation, radiance, time, alive) through HBM between segments, and lets
-XLA — where megapixel gathers are native — resolve the deferred texel records
-the kernel emits:
+This module therefore runs the kernel with a DEFERRED-TEXEL protocol and
+lets XLA — where megapixel gathers are native — resolve the texel records
+the kernel emits.  Two drivers share that protocol:
+
+* PERSIST (round 3, the default — ``_wavefront_pass_persist``): the
+  persistent respawn kernel made resumable across launches.  Lanes walk
+  whole samples in-kernel (camera respawn included) for up to
+  ``persist_iters`` bounces per launch, FREEZING individually when they hit
+  an image texture; the driver resolves frozen lanes' texels between
+  launches.  Per-bounce XLA spawn work and state traffic disappear for
+  every lane not looking at the image (v5e: earth 78.2 vs 39.2 Mpaths/s
+  segmented, book2_final 7.9 vs 5.6).
+* SEGMENT (round 2, kept for head-to-head benchmarking —
+  ``per_bounce_segments=True``): ONE bounce per launch over carried ray
+  state, XLA respawning dead lanes' next samples between segments.
+
+The texel records:
 
 * an image-textured albedo hit scatters with UNIT albedo in-kernel and emits
   ``(normal, +(image_id+1))``; XLA derives the sphere UV from the outward
@@ -574,18 +586,17 @@ def _wavefront_pass(scene: Scene, arrays: dict, cam, key, px, py,
 
 
 def wavefront_tile_rows(scene: Scene) -> int:
-    """Scene-adaptive segment tile height (v5e sweep, 64spp d50 per-pass):
-    big tiles amortize per-tile loop overhead, small tiles tighten the
-    cluster-cull frustum — the crossover tracks primitive count.
-    book2_earth (1 sphere): 32.7/37.3/42.6/35.9 Mpaths/s at 32/64/128/256;
-    flagship (489): 22.4/25.7/24.4/23.1 at 32/64/96/128; book2_final
-    (~1800): 5.41/5.46/4.77 at 32/64/128; sphere_field_10k (10k):
-    8.02/7.67 at 32/64."""
+    """Scene-adaptive tile height for the image-scene persist kernel (v5e,
+    round-3 sweep under persist_iters routing,
+    scripts/bench_final_knobs.py): big tiles amortize per-tile loop
+    overhead, small tiles tighten the cluster-cull frustum AND shrink the
+    20-row state I/O a persist launch pays per tile — book2_final (~1800
+    prims): 7.88/7.0/5.6 Mpaths/s at 32/64/128; book2_earth (1 sphere):
+    78.2 at its 128 default.  Round-2 segment-mode numbers (64 won on
+    mid-size scenes) no longer apply."""
     n = active_primitive_count(scene)
     if n <= 4:
         return 128
-    if n <= 4000:
-        return 64
     return 32
 
 
@@ -626,7 +637,9 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
             box_max_leaf=box_max_leaf)
     if tile_rows is None:
         tile_rows = wavefront_tile_rows(scene)
-    arrays, statics = prepare_megakernel(
+    from .pallas_megakernel import prepare_megakernel_cached
+
+    arrays, statics = prepare_megakernel_cached(
         scene, cam, width=width, height=height,
         spp=(1 if per_bounce_segments else spp), max_depth=max_depth,
         tile_rows=tile_rows, interpret=interpret, segment=True, mis=mis,

@@ -28,7 +28,14 @@ field needs full u-dependence).  Properties:
   of variables is exact for any smooth warp.
 
 Scope: PRIMARY rays, sphere silhouettes (the parameters BASELINE config 4
-asks to recover).  Secondary-bounce visibility gradients remain interior-only.
+asks to recover).  Secondary-bounce visibility gradients remain interior-only;
+the residual bias is QUANTIFIED by
+tests/test_silhouette.py::test_secondary_silhouette_residual_bias_quantified
+(an out-of-frustum occluder whose only image coupling is its shadow: central
+FD gradient 9.0 vs AD 0.0 — the shadow boundary term is entirely missing, by
+construction, not approximately).  Extending the warp to bounce rays needs a
+per-bounce reparameterization of the scattering direction (Bangaru et al.
+2020 §5); out of scope while no workload optimizes occluder geometry.
 The reference has no gradients of any kind (it is a forward renderer).
 """
 

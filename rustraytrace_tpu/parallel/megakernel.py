@@ -54,17 +54,47 @@ def sharded_megakernel_wiring(pass_fn, arrays, key, offsets, mesh: Mesh):
     ``arrays`` is replicated, ``offsets`` [n_devices] is split one-per-device
     over the flattened ('px', 'spp') mesh, and the outputs are psum'd back to
     every device.
-    """
+
+    NOTE: a fresh ``pass_fn`` closure defeats JAX's compilation cache —
+    every call recompiles (~27 s for the megakernel, measured via
+    scaling_bench round 3).  The production pass loops therefore go through
+    :func:`_cached_sharded_fn`, which keys the shard_map-wrapped callable on
+    the hashable statics; this raw entry stays for one-shot structure
+    validation (dryrun_multichip, wiring-only scaling runs)."""
+    return _make_wiring(pass_fn, mesh)(arrays, key, offsets)
+
+
+def _make_wiring(pass_fn, mesh: Mesh, jit: bool = False):
     def body(arrays, key, off):
         img = pass_fn(arrays, key, off[0])
         return jax.lax.psum(img, ("px", "spp"))
 
-    return jax.shard_map(
+    wired = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(("px", "spp"))),
         out_specs=P(),
         check_vma=False,
-    )(arrays, key, offsets)
+    )
+    # an EAGER shard_map call re-traces and re-lowers every time (measured
+    # ~27 s/pass via scaling_bench); jit wraps it in the executable cache,
+    # keyed on this wrapper's identity — which _cached_sharded_fn pins
+    return jax.jit(wired) if jit else wired
+
+
+_SHARD_FN_CACHE: dict = {}
+
+
+def _cached_sharded_fn(cache_key, build):
+    """Memoize shard_map-wrapped pass callables: a stable function identity
+    is what lets JAX reuse the compiled executable across the passes of a
+    render (and across bench repeats)."""
+    fn = _SHARD_FN_CACHE.get(cache_key)
+    if fn is None:
+        fn = build()
+        if len(_SHARD_FN_CACHE) > 16:
+            _SHARD_FN_CACHE.clear()
+        _SHARD_FN_CACHE[cache_key] = fn
+    return fn
 
 
 def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
@@ -83,24 +113,32 @@ def render_pass_megakernel_sharded(scene: Scene, cfg_cam, key, *, width: int,
     """
     from ..ops.pallas_megakernel import (TILE_ROWS,
                                          megakernel_pass_from_prepared,
-                                         prepare_megakernel,
+                                         prepare_megakernel_cached,
                                          respawn_tile_rows)
 
     if tile_rows is None:
         tile_rows = respawn_tile_rows(scene, mis=mis) if respawn else TILE_ROWS
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
-    arrays, statics = prepare_megakernel(
+    arrays, statics = prepare_megakernel_cached(
         scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, mis=mis, stratified=stratified,
         sqrt_spp=sqrt_spp, respawn=respawn, tile_rows=tile_rows)
     offsets = (sample_offset
                + jnp.arange(n, dtype=jnp.int32) * spp_local)
 
-    def pass_fn(arrays, key, off):
-        return megakernel_pass_from_prepared(arrays, statics, key, off)
+    statics_t = tuple(sorted(statics.items()))
 
-    return sharded_megakernel_wiring(pass_fn, arrays, key, offsets, mesh)
+    def build():
+        st = dict(statics_t)
+
+        def pass_fn(arrays, key, off):
+            return megakernel_pass_from_prepared(arrays, st, key, off)
+
+        return _make_wiring(pass_fn, mesh, jit=True)
+
+    fn = _cached_sharded_fn(("mk", statics_t, mesh), build)
+    return fn(arrays, key, offsets)
 
 
 def spp_traced_mesh(spp: int, mesh: Mesh) -> int:
@@ -201,7 +239,8 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     loop); image scenes run the segmented loop with per-device XLA texel
     resolve.
     """
-    from ..ops.pallas_megakernel import _unswizzle_index, prepare_megakernel
+    from ..ops.pallas_megakernel import (_unswizzle_index,
+                                         prepare_megakernel_cached)
     from ..ops.pallas_wavefront import (PERSIST_DENSE_ITERS,
                                         PERSIST_SPARSE_ITERS,
                                         _wavefront_pass_persist,
@@ -220,25 +259,32 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
     tile_rows = wavefront_tile_rows(scene)
-    arrays, statics = prepare_megakernel(
+    arrays, statics = prepare_megakernel_cached(
         scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, tile_rows=tile_rows, interpret=False,
         segment=True, mis=mis, stratified=stratified, sqrt_spp=sqrt_spp)
     p_statics = persist_statics_tuple(statics)
     key = jax.random.fold_in(key, 0x5EED)  # match render_pass_wavefront
     offsets = sample_offset + jnp.arange(n, dtype=jnp.int32) * spp_local
-    unswz = _unswizzle_index(width, height)
+    rows = statics["rows"]
+    persist_iters = (PERSIST_SPARSE_ITERS if gate_texels
+                     else PERSIST_DENSE_ITERS)
 
-    def pass_fn(args, key, off):
-        scene_, arrays_ = args
-        acc = _wavefront_pass_persist(
-            scene_, arrays_, key, off,
-            spp=spp_local, max_depth=max_depth, rows=statics["rows"],
-            tile_rows=tile_rows, statics=p_statics,
-            gate_texels=gate_texels,
-            persist_iters=(PERSIST_SPARSE_ITERS if gate_texels
-                           else PERSIST_DENSE_ITERS))
-        return acc[unswz].reshape(height, width, 3)
+    def build():
+        unswz = _unswizzle_index(width, height)
 
-    return sharded_megakernel_wiring(
-        pass_fn, (scene, arrays), key, offsets, mesh)
+        def pass_fn(args, key, off):
+            scene_, arrays_ = args
+            acc = _wavefront_pass_persist(
+                scene_, arrays_, key, off,
+                spp=spp_local, max_depth=max_depth, rows=rows,
+                tile_rows=tile_rows, statics=p_statics,
+                gate_texels=gate_texels, persist_iters=persist_iters)
+            return acc[unswz].reshape(height, width, 3)
+
+        return _make_wiring(pass_fn, mesh, jit=True)
+
+    fn = _cached_sharded_fn(
+        ("wf", p_statics, mesh, spp_local, max_depth, rows, tile_rows,
+         gate_texels, persist_iters, width, height), build)
+    return fn((scene, arrays), key, offsets)

@@ -1,0 +1,83 @@
+"""BASELINE.md config matrix, run AS WRITTEN (round 3, VERDICT r2 item 3).
+
+Runs each BASELINE config end-to-end at its STATED size through the public
+render_image pass loop (auto backend routing) on the real TPU, and prints
+one JSON line per config with throughput + wall time.  Config 4 is
+examples/inverse_rendering.py (gated recovery; run it directly); config 5's
+multi-host run needs a pod slice — its code path is covered by
+`python scaling_bench.py --backend megakernel` (1-chip TPU mesh) and
+`--virtual 8` (CPU wiring); this script runs config 5's scene at 4K@1000spp
+on the single chip to pin the per-chip number the scaling story multiplies.
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/baseline_matrix.py [1 2 3 5]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(config: int):
+    import jax
+
+    from rustraytrace_tpu import models, render
+    from rustraytrace_tpu.utils.metrics import device_fence
+
+    if config == 1:
+        scene, cfg, integ = models.book1_three_spheres(
+            dict(image_width=400, samples_per_pixel=100, max_depth=50,
+                 spp_per_pass=100))
+    elif config == 2:
+        scene, cfg, integ = models.book1_random_spheres(
+            dict(image_width=1200, samples_per_pixel=500, max_depth=50,
+                 spp_per_pass=125))
+    elif config == 3:
+        scene, cfg, integ = models.book2_earth(
+            dict(image_width=800, samples_per_pixel=500, max_depth=50,
+                 spp_per_pass=125))
+    elif config == 5:
+        scene, cfg, integ = models.book1_random_spheres(
+            dict(image_width=3840, samples_per_pixel=1000, max_depth=50,
+                 spp_per_pass=50))
+        cfg = cfg.replace(aspect_ratio=16.0 / 9.0)  # 3840x2160
+    else:
+        raise SystemExit(f"config {config}: run examples/inverse_rendering.py")
+
+    w, h = cfg.image_width, cfg.image_height
+    backend = render.resolve_backend(scene, integ)
+    # warmup: compile + absorb the tunnel's first-execution stall with ONE
+    # pass at the pass size
+    from rustraytrace_tpu.config import derive_camera
+
+    cam = derive_camera(cfg)
+    import jax.random as jr
+
+    device_fence(render.render_pass(
+        scene, cam, jr.key(0), width=w, height=h, spp=cfg.spp_per_pass,
+        max_depth=cfg.max_depth, integrator=integ, backend=backend))
+    t0 = time.perf_counter()
+    img, state = render.render_image(scene, cfg, integrator=integ,
+                                     backend=backend)
+    device_fence(img)
+    el = time.perf_counter() - t0
+    spp = state["spp_done"]
+    print(json.dumps({
+        "config": config, "scene": f"{w}x{h}@{spp}spp d{cfg.max_depth}",
+        "backend": backend,
+        "paths_per_s": round(w * h * spp / el, 1),
+        "wall_s": round(el, 1),
+        "mean_u8": round(float(np.asarray(img).mean()), 2),
+    }), flush=True)
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 5]
+    for c in which:
+        run(c)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,10 +8,9 @@ Usage:
 Cases (default: all):
     flagship         book1_random_spheres 1200x675 @64spp d50, auto backend
     flagship_wf      same scene forced through the respawn wavefront path
-    final            book2_final_scene 800x800 @64spp d40 (reference flagship;
-                     64spp per pass amortizes the respawn tail the way the
-                     reference's 10,000-spp workload does — measured 4.55M
-                     @32spp, 5.2M @64, 5.85M @128)
+    final            book2_final_scene 800x800 @64spp d40 (reference
+                     flagship; round 3: ~8M via the persist texel-freeze
+                     kernel — see ROADMAP.md's ablation for the ceiling)
     earth            book2_earth 800x450 @64spp d50
     cornell_mis      book3_cornell_box 600x600 @64spp d50 (MIS megakernel)
     field10k         sphere_field_10k 1200x675 @64spp d50 (~10k spheres)

@@ -149,8 +149,12 @@ def test_sphere_field_10k_builds_and_routes():
         scene, cam, width=64, height=36, spp=1, max_depth=4,
         tile_rows=8, interpret=True)
     # geometry table stays column-major (SMEM budget) and slab count scales
+    # with the PADDED row count (round 3: cluster ranges pad to multiples
+    # of the intersect-loop unroll with unhittable sentinels)
     assert arrays["tab"].shape[0] in (4, 7)
-    assert statics["n_slabs"] == -(-n // 128)
+    n_padded = arrays["tab"].shape[1]
+    assert n <= n_padded <= n * 1.2
+    assert statics["n_slabs"] == -(-n_padded // 128)
 
 
 def test_wavefront_respawn_stratum_wrap():
@@ -224,7 +228,9 @@ def test_batab_rows_match_kernel_fetch_for_image_scenes():
     arrays, statics = prepare_megakernel(
         scene, cam, width=16, height=9, spp=1, max_depth=2,
         tile_rows=8, interpret=True, segment=True)
-    assert statics["has_image"] and statics["n_boxes"] == 1
+    # n_boxes is the b_unroll-padded count since round 3 (1 box -> one
+    # padded group); the batab row contract is what matters here
+    assert statics["has_image"] and 1 <= statics["n_boxes"] <= statics["b_unroll"]
     assert arrays["batab"].shape[0] == 17 * statics["b_slabs"]
 
 

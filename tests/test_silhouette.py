@@ -90,3 +90,60 @@ def test_silhouette_radius_fd_vs_ad():
           - float(loss_of_r(jnp.asarray(0.5 - eps)))) / (2 * eps)
     assert abs(fd) > 1e-3
     assert abs(ad - fd) <= 0.15 * abs(fd), (ad, fd)
+
+
+def test_secondary_silhouette_residual_bias_quantified():
+    """SCOPE DOCUMENTATION (round 3): the warp covers PRIMARY silhouettes
+    only (ops/warp.py scope note).  This test pins the residual bias
+    through a SECONDARY (shadow) silhouette: a sphere occluder floats
+    between an emissive quad and a diffuse floor, outside the camera
+    frustum — moving it laterally only moves the shadow, a visibility
+    boundary crossed by BOUNCE rays.  Central finite differences see the
+    full gradient; AD (warp on) must miss most of it, because the
+    boundary term lives on secondary rays the warp does not cover.
+
+    If this test ever FAILS on the `ad/fd` bound because AD caught up, the
+    warp gained secondary coverage — move the bound, and delete the scope
+    note."""
+    key = jax.random.key(7)
+    spp = 512
+
+    def build(ox: float):
+        b = SceneBuilder()
+        # diffuse floor filling the view
+        b.add_quad((-4.0, -1.0, -6.0), (8.0, 0.0, 0.0), (0.0, 0.0, 6.0),
+                   b.lambertian((0.7, 0.7, 0.7)))
+        # overhead emissive quad
+        b.add_quad((-1.0, 3.0, -4.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0),
+                   b.diffuse_light((12.0, 12.0, 12.0)))
+        # occluder ABOVE the camera frustum: visible only to bounce rays
+        b.add_sphere((ox, 1.5, -3.0), 0.6, b.lambertian((0.1, 0.1, 0.1)))
+        return b.build()
+
+    cfg = RenderConfig(aspect_ratio=1.0, image_width=20,
+                       samples_per_pixel=spp, max_depth=3, vfov=35.0,
+                       lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, -0.8, -3.0),
+                       background=(0.0, 0.0, 0.0), focus_dist=1.0)
+    cam = derive_camera(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def loss_of_ox(ox):
+        s = build(0.0)
+        s = dataclasses.replace(
+            s, sph_center=s.sph_center.at[0, 0].add(ox))
+        img = render_mean(s, cam, key, width=20, height=20, spp=spp,
+                          max_depth=3, mesh=mesh, chunk=400,
+                          warp_primary=True)
+        return jnp.sum(img)
+
+    ad = float(jax.grad(loss_of_ox)(jnp.asarray(0.0)))
+    eps = 0.05
+    fd = (float(loss_of_ox(jnp.asarray(eps)))
+          - float(loss_of_ox(jnp.asarray(-eps)))) / (2 * eps)
+    # the shadow boundary term is real and significant
+    assert abs(fd) > 1e-2, fd
+    # and AD misses most of it: the quantified residual bias of the
+    # primary-only warp (measured on this setup: fd = 9.0, ad = 0.0 —
+    # the occluder couples to the image ONLY through the shadow boundary,
+    # so interior AD carries exactly none of it)
+    assert abs(ad) < 0.5 * abs(fd), (ad, fd)
