@@ -382,6 +382,35 @@ def megakernel_mis_eligible(scene: Scene) -> bool:
     return megakernel_eligible(scene) and mis_lights_ok(scene)
 
 
+def pack_image_dma(scene: Scene):
+    """(dma_img [R, 128] f32, meta) for the IN-KERNEL texel fetch.
+
+    Texels are flattened image-major as RGBA quads (4 f32 — a texel never
+    straddles a 128-lane row), padded to whole (8, 128) tiles: Mosaic DMA
+    slices must be tiling-aligned, so the kernel fetches the (8, 128) block
+    containing a texel and extracts the 3 floats with masked reductions.
+    ``meta`` is a static tuple of (base_texel, W, H) per image, baked into
+    the kernel as constants (image counts are tiny)."""
+    import numpy as np
+
+    imgs = np.asarray(scene.images)
+    hw = np.asarray(scene.image_hw)
+    metas, chunks, base = [], [], 0
+    for k in range(imgs.shape[0]):
+        h, w = int(hw[k, 0]), int(hw[k, 1])
+        tex = imgs[k, :h, :w, :].reshape(-1, 3).astype(np.float32)
+        rgba = np.concatenate(
+            [tex, np.zeros((h * w, 1), np.float32)], axis=1)
+        metas.append((base, w, h))
+        chunks.append(rgba.reshape(-1))
+        base += h * w
+    flat = (np.concatenate(chunks) if chunks
+            else np.zeros(4, np.float32))
+    pad = (-flat.size) % (8 * 128)
+    flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    return flat.reshape(-1, 128), tuple(metas)
+
+
 def active_primitive_count(scene: Scene) -> int:
     """Total active primitives (spheres + quads + boxes + media); shared by
     respawn_tile_rows and the wavefront texel-gate heuristic."""
@@ -403,6 +432,32 @@ def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
     used to favor 64-row tiles), so the round-2 scene-conditional rule
     collapsed to a constant."""
     return 32
+
+
+def atan2_poly(y, x):
+    """Branchless vector atan2 via an odd minimax polynomial on [0, 1] —
+    Mosaic has no atan2 lowering.  Max error ~1e-5 rad (~0.003 texel at a
+    2048-wide image); at (0, 0) returns 0, matching the XLA path's guarded
+    pole case (intersect.sphere_uv).  Pure jnp: runs in-kernel and on CPU
+    (accuracy pinned by tests/test_round3.py::test_atan2_acos_poly)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, 1e-30)
+    s = t * t
+    r = t * (0.99997726 + s * (-0.33262347 + s * (
+        0.19354346 + s * (-0.11643287 + s * (
+            0.05265332 + s * -0.01172120)))))
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
+    r = jnp.where(x < 0.0, 3.141592653589793 - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def acos_poly(z):
+    """acos via atan2(sqrt(1-z^2), z); z clipped to [-1, 1]."""
+    zc = jnp.clip(z, -1.0, 1.0)
+    return atan2_poly(jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0)), zc)
 
 
 def _uniform(shape):
@@ -427,7 +482,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  segment: bool = False, has_image: bool = False,
                  respawn: bool = False, unroll: int = 1, b_unroll: int = 1,
                  media_kinds: tuple = (), persist: bool = False,
-                 persist_iters: int = 0):
+                 persist_iters: int = 0, dma_texels: bool = False,
+                 dma_meta: tuple = (), dma_thresh: int = 16):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -468,7 +524,12 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
              btab_ref, bclb_ref,
              bcls_ref, batab_ref, ltab_ref, mtab_ref,
              ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
-             st_ref, sto_ref, pend_ref) = refs
+             *rest) = refs
+            if dma_texels:
+                (img_ref, st_ref, sto_ref, pend_ref,
+                 tex_scratch, tex_sem) = rest
+            else:
+                st_ref, sto_ref, pend_ref = rest
         else:
             (tab_ref, qtab_ref, clb_ref, cls_ref, sclb_ref, scls_ref,
              btab_ref, bclb_ref,
@@ -1091,6 +1152,95 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 car, cag, cab = jax.lax.cond(
                     jnp.max(jnp.where(isn, 1.0, 0.0)) > 0.0,
                     _marble, lambda albs: albs, (car, cag, cab))
+
+            if has_image and dma_texels:
+                # ---- IN-KERNEL TEXEL RESOLVE (round 3) ----
+                # When a tile-bounce has only a few image-texture winners
+                # (the common case in image-SPARSE scenes like book2_final:
+                # the globe is 1 of ~1800 primitives), resolve them HERE by
+                # DMA-ing each winner's texel block from the HBM image table
+                # serially — no freeze, no extra launch.  Dense tiles
+                # (> dma_thresh flagged) fall through to the freeze/pend
+                # protocol below.  UV comes from the polynomial atan2/acos
+                # for spheres (no Mosaic lowering exists) and the direct
+                # planar coords for quads; the fetch reproduces
+                # texture.rs:89-109 nearest-texel semantics exactly.
+                is_img_t = tk == 2.0
+                flagged0 = (alive > 0.0) & is_img_t
+                fmask0 = jnp.where(flagged0, 1.0, 0.0)
+                cntf = jnp.sum(fmask0)
+                lin_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    * TILE_LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+                def _serial_resolve(args):
+                    car_, cag_, cab_, tk_ = args
+                    inv_2pi = 0.15915494309189535
+                    u_sph = (atan2_poly(-owz, owx)
+                             + 3.141592653589793) * inv_2pi
+                    v_sph = acos_poly(-owy) * inv_pi
+                    uu = jnp.where(isuv_w > 0.0, uq_w, u_sph)
+                    vv = jnp.where(isuv_w > 0.0, vq_w, v_sph)
+                    w_l = jnp.full(shape, 1.0)
+                    h_l = jnp.full(shape, 1.0)
+                    b_l = zeros
+                    for k, (bk, wk, hk) in enumerate(dma_meta):
+                        selk = img_w == float(k)
+                        w_l = jnp.where(selk, float(wk), w_l)
+                        h_l = jnp.where(selk, float(hk), h_l)
+                        b_l = jnp.where(selk, float(bk), b_l)
+                    uc = jnp.clip(uu, 0.0, 1.0)
+                    vc = 1.0 - jnp.clip(vv, 0.0, 1.0)
+                    i_t = jnp.minimum((uc * w_l).astype(jnp.int32),
+                                      w_l.astype(jnp.int32) - 1)
+                    j_t = jnp.minimum((vc * h_l).astype(jnp.int32),
+                                      h_l.astype(jnp.int32) - 1)
+                    T = (b_l.astype(jnp.int32)
+                         + j_t * w_l.astype(jnp.int32) + i_t)
+                    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                    l8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+                    def rcond(c):
+                        return jnp.max(c[0]) > 0.0
+
+                    def rbody(c):
+                        f, cr, cg, cb = c
+                        tgt = jnp.max(jnp.where(f > 0.0, lin_idx, -1))
+                        sel_t = lin_idx == tgt
+                        tt = jnp.max(jnp.where(sel_t, T, 0))
+                        off = tt * 4
+                        row = off // 128
+                        brow = (row // 8) * 8
+                        dma = pltpu.make_async_copy(
+                            img_ref.at[pl.ds(brow, 8), :],
+                            tex_scratch, tex_sem)
+                        dma.start()
+                        dma.wait()
+                        sc = tex_scratch[...]
+                        pick = r8 == (row - brow)
+                        lane0 = off % 128
+                        tr = jnp.max(jnp.where(pick & (l8 == lane0),
+                                               sc, -_BIG))
+                        tg = jnp.max(jnp.where(pick & (l8 == lane0 + 1),
+                                               sc, -_BIG))
+                        tb = jnp.max(jnp.where(pick & (l8 == lane0 + 2),
+                                               sc, -_BIG))
+                        return (f * jnp.where(sel_t, 0.0, 1.0),
+                                jnp.where(sel_t, tr, cr),
+                                jnp.where(sel_t, tg, cg),
+                                jnp.where(sel_t, tb, cb))
+
+                    _, car_, cag_, cab_ = jax.lax.while_loop(
+                        rcond, rbody, (fmask0, car_, cag_, cab_))
+                    # resolved winners behave like solids from here on: the
+                    # freeze/pend path below keys on tk == TEX_IMAGE
+                    tk_ = jnp.where(flagged0, 0.0, tk_)
+                    return car_, cag_, cab_, tk_
+
+                car, cag, cab, tk = jax.lax.cond(
+                    (cntf > 0.0) & (cntf <= float(dma_thresh)),
+                    _serial_resolve, lambda a: a, (car, cag, cab, tk))
 
             d_dot_ow = dx * owx + dy * owy + dz * owz
             front = d_dot_ow < 0.0
@@ -2054,6 +2204,15 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     )
     if not segment:
         statics["respawn"] = respawn
+    else:
+        # in-kernel texel-DMA table (persist mode; zeros when no image)
+        if has_image:
+            img_dma_np, dma_meta = pack_image_dma(scene)
+            arrays["img_dma"] = jnp.asarray(img_dma_np)
+            statics["dma_meta"] = dma_meta
+        else:
+            arrays["img_dma"] = jnp.zeros((8, TILE_LANES), _F32)
+            statics["dma_meta"] = ()
     return arrays, statics
 
 

