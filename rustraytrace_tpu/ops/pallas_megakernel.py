@@ -421,6 +421,25 @@ def active_primitive_count(scene: Scene) -> int:
         scene.msph_mask, scene.mbox_mask)))
 
 
+def noise_dominant(scene: Scene) -> bool:
+    """True when Perlin-marble primitives ARE the scene (book2_perlin:
+    both spheres marble) rather than one object among many (book2_final).
+    Drives the unroll default: the 7-octave turbulence evaluation already
+    saturates registers/VMEM, and unrolling the intersect loops on top
+    measurably spills (perlin_spheres v5e: 51-54 Mpaths/s at unroll=1 vs
+    38.7 at unroll=4; book2_final, noise-sparse, prefers 4: 8.1 vs 6.8)."""
+    import numpy as np
+
+    if "noise" not in scene.features:
+        return False
+    tex_kind = np.asarray(scene.tex_kind)
+    mat_tex = np.asarray(scene.mat_tex)
+    noise_mat = tex_kind[mat_tex] == 3  # TEX_NOISE
+    n_noise = int(np.sum((np.asarray(scene.sph_mask) > 0)
+                         & noise_mat[np.asarray(scene.sph_mat)]))
+    return active_primitive_count(scene) <= 8 * n_noise
+
+
 def respawn_tile_rows(scene: Scene, mis: bool = False) -> int:
     """Measured tile height for the PERSISTENT RESPAWN kernel.
 
@@ -1978,8 +1997,10 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    unroll = SPHERE_UNROLL if unroll is None else unroll
-    b_unroll = BOX_UNROLL if b_unroll is None else b_unroll
+    if unroll is None:
+        unroll = 1 if noise_dominant(scene) else SPHERE_UNROLL
+    if b_unroll is None:
+        b_unroll = 1 if noise_dominant(scene) else BOX_UNROLL
     sphere_max_leaf = (SPHERE_MAX_LEAF if sphere_max_leaf is None
                        else sphere_max_leaf)
     box_max_leaf = BOX_MAX_LEAF if box_max_leaf is None else box_max_leaf
