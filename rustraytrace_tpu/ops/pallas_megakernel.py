@@ -35,6 +35,7 @@ CPU SmallRng (renderer.wgsl:51-75 vs rtweekend.rs:9-11).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -502,7 +503,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  respawn: bool = False, unroll: int = 1, b_unroll: int = 1,
                  media_kinds: tuple = (), persist: bool = False,
                  persist_iters: int = 0, dma_texels: bool = False,
-                 dma_meta: tuple = (), dma_thresh: int = 16):
+                 dma_meta: tuple = (), dma_thresh: int = 16,
+                 n_ssc_static: int = 0):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -619,7 +621,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             py = jnp.minimum(pyi, height - 1).astype(_F32)
 
         def intersect(tm, ox, oy, oz, dx, dy, dz, a, inv_a):
-            def body(k, carry):
+            def body_of(mv):
                 # tab_ref is the geometry-ONLY SMEM table (cx, cy, cz, r2
                 # [, vx, vy, vz]): the hot loop reads nothing else, and the
                 # slim layout keeps 10k-sphere scenes inside the scalar-
@@ -627,32 +629,43 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 # Each iteration tests ``unroll`` consecutive spheres
                 # (cluster ranges are padded to multiples of ``unroll`` with
                 # r2 = -BIG sentinels, which can never pass disc > 0).
-                bt, bi = carry
-                for jj in range(unroll):
-                    s = k * unroll + jj if unroll > 1 else k
-                    cx = tab_ref[0, s]
-                    cy = tab_ref[1, s]
-                    cz = tab_ref[2, s]
-                    r2 = tab_ref[3, s]
-                    if moving:
-                        cx = cx + tm * tab_ref[4, s]
-                        cy = cy + tm * tab_ref[5, s]
-                        cz = cz + tm * tab_ref[6, s]
-                    ocx = cx - ox
-                    ocy = cy - oy
-                    ocz = cz - oz
-                    h = dx * ocx + dy * ocy + dz * ocz
-                    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                    disc = h * h - a * c
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    tn = (h - sq) * inv_a
-                    tf = (h + sq) * inv_a
-                    root = jnp.where((tn > T_MIN) & (tn < T_MAX), tn, tf)
-                    take = ((disc > 0.0) & (root > T_MIN) & (root < T_MAX)
-                            & (root < bt))
-                    bt = jnp.where(take, root, bt)
-                    bi = jnp.where(take, s, bi)
-                return bt, bi
+                # ``mv`` is the PER-GROUP motion flag: when a moving scene
+                # has a static majority (book2_final: 1 moving of ~1006),
+                # prepare_megakernel clusters the static and moving spheres
+                # separately so the static loop skips the 3 SMEM velocity
+                # reads + 3 FMAs per sphere entirely (sphere.rs:30-35
+                # center-at-time analog, paid only where centers move).
+                def body(k, carry):
+                    bt, bi = carry
+                    for jj in range(unroll):
+                        s = k * unroll + jj if unroll > 1 else k
+                        cx = tab_ref[0, s]
+                        cy = tab_ref[1, s]
+                        cz = tab_ref[2, s]
+                        r2 = tab_ref[3, s]
+                        if mv:
+                            cx = cx + tm * tab_ref[4, s]
+                            cy = cy + tm * tab_ref[5, s]
+                            cz = cz + tm * tab_ref[6, s]
+                        ocx = cx - ox
+                        ocy = cy - oy
+                        ocz = cz - oz
+                        h = dx * ocx + dy * ocy + dz * ocz
+                        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                        disc = h * h - a * c
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        tn = (h - sq) * inv_a
+                        tf = (h + sq) * inv_a
+                        root = jnp.where((tn > T_MIN) & (tn < T_MAX), tn, tf)
+                        take = ((disc > 0.0) & (root > T_MIN)
+                                & (root < T_MAX) & (root < bt))
+                        bt = jnp.where(take, root, bt)
+                        bi = jnp.where(take, s, bi)
+                    return bt, bi
+
+                return body
+
+            body = body_of(moving)
 
             init = (jnp.full(shape, _BIG, _F32),
                     jnp.full(shape, -1, jnp.int32))
@@ -708,9 +721,23 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # so the cull's fori bounds are already in body-iteration units;
             # scls_ref indexes clusters and is never divided.
             if n_sclusters > 1:
-                scl_body = make_cull(sclb_ref, scls_ref,
-                                     make_cull(clb_ref, cls_ref, body))
-                carry = jax.lax.fori_loop(0, n_sclusters, scl_body, init)
+                if moving and 0 < n_ssc_static < n_sclusters:
+                    # split hierarchy: leading super-clusters hold only
+                    # STATIC spheres (motion-free body), the tail holds the
+                    # moving ones (prepare_megakernel groups + orders them)
+                    scl_st = make_cull(sclb_ref, scls_ref,
+                                       make_cull(clb_ref, cls_ref,
+                                                 body_of(False)))
+                    carry = jax.lax.fori_loop(0, n_ssc_static, scl_st, init)
+                    scl_mv = make_cull(sclb_ref, scls_ref,
+                                       make_cull(clb_ref, cls_ref,
+                                                 body_of(True)))
+                    carry = jax.lax.fori_loop(n_ssc_static, n_sclusters,
+                                              scl_mv, carry)
+                else:
+                    scl_body = make_cull(sclb_ref, scls_ref,
+                                         make_cull(clb_ref, cls_ref, body))
+                    carry = jax.lax.fori_loop(0, n_sclusters, scl_body, init)
             elif use_clusters:
                 cl_body = make_cull(clb_ref, cls_ref, body)
                 carry = jax.lax.fori_loop(0, n_clusters, cl_body, init)
@@ -1889,7 +1916,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                      "stratified", "sqrt_spp", "n_media", "has_noise",
                      "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
                      "has_image", "interpret", "respawn", "unroll",
-                     "b_unroll", "media_kinds"),
+                     "b_unroll", "media_kinds", "n_ssc_static"),
 )
 def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     batab, ltab, mtab, ptab, vtab, atab,
@@ -1904,7 +1931,7 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     n_bclusters: int, b_slabs: int, has_image: bool,
                     interpret: bool, respawn: bool = False,
                     unroll: int = 1, b_unroll: int = 1,
-                    media_kinds: tuple = ()):
+                    media_kinds: tuple = (), n_ssc_static: int = 0):
     if has_image:
         raise ValueError(
             "image textures require the wavefront segment path "
@@ -1926,7 +1953,8 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                      n_slabs=n_slabs, n_boxes=n_boxes,
                      n_bclusters=n_bclusters, b_slabs=b_slabs,
                      n_sclusters=n_sclusters, unroll=unroll,
-                     b_unroll=b_unroll, media_kinds=media_kinds),
+                     b_unroll=b_unroll, media_kinds=media_kinds,
+                     n_ssc_static=n_ssc_static),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -2070,6 +2098,8 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
 
     # SAH cluster culling (native C++ builder with NumPy fallback) pays off
     # once the sphere loop dominates; swept bounds cover motion blur.
+    moving = "motion" in scene.features
+    n_ssc_static = 0
     n_spheres = tab.shape[0]
     if n_spheres >= 64:
         import numpy as np
@@ -2082,38 +2112,90 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         rad = np.where(np.asarray(scene.sph_mask) > 0, rad, 0.0)
         cmid = cen + 0.5 * vel
         rswept = rad + 0.5 * np.linalg.norm(vel, axis=-1)
-        order, cl_start, cl_min, cl_max = build_sphere_clusters(
-            cmid, rswept, max_leaf=sphere_max_leaf)  # default 32: measured
-        # optimum on the 489-sphere flagship: 8 -> 9.8, 16 -> 12.9,
-        # 32 -> 13.7, 64 -> 12.8 Mpaths/s
-        n_clusters = cl_start.shape[0] - 1
 
-        # 2-level hierarchy: once the flat cluster scan itself gets long
-        # (10k spheres -> ~320 clusters), SAH-cluster the CLUSTER AABBs and
-        # scan super-clusters first; clusters (and the sphere order beneath
-        # them) are permuted super-cluster-contiguous so the kernel descends
-        # with the same contiguous-range fori_loop at both levels.
-        n_sclusters = 0
-        sclb = jnp.zeros((1, 8), _F32)
-        scls = jnp.zeros(2, jnp.int32)
-        if n_clusters >= 16:  # threshold re-measured round 2: 16 is neutral-to-
-        #  +1M on flagship (489 spheres -> 16 clusters) and required for the
-        #  10k scaling scene; 48 left book2_final's 1006-sphere cloud flat
-            from ..native import build_aabb_clusters
+        def _supers(order, cl_start, cl_min, cl_max, force: bool):
+            """2-level hierarchy: once the flat cluster scan itself gets
+            long (10k spheres -> ~320 clusters), SAH-cluster the CLUSTER
+            AABBs and scan super-clusters first; clusters (and the sphere
+            order beneath them) are permuted super-cluster-contiguous so
+            the kernel descends with the same contiguous-range fori_loop at
+            both levels.  Threshold 16 re-measured round 2: neutral-to-+1M
+            on the flagship (489 spheres -> 16 clusters) and required for
+            the 10k scaling scene.  ``force`` (the static/moving split
+            path) returns identity super-clusters below the threshold so
+            the kernel can always take the split 2-level loop."""
+            n_cl = cl_start.shape[0] - 1
+            if n_cl >= 16:
+                from ..native import build_aabb_clusters
 
-            sorder, s_start, s_min, s_max = build_aabb_clusters(
-                cl_min, cl_max, max_leaf=16)
-            order = np.concatenate(
-                [order[cl_start[c]:cl_start[c + 1]] for c in sorder])
-            sizes = (cl_start[1:] - cl_start[:-1])[sorder]
+                sorder, s_start, s_min, s_max = build_aabb_clusters(
+                    cl_min, cl_max, max_leaf=16)
+                order = np.concatenate(
+                    [order[cl_start[c]:cl_start[c + 1]] for c in sorder])
+                sizes = (cl_start[1:] - cl_start[:-1])[sorder]
+                cl_start = np.concatenate(
+                    [[0], np.cumsum(sizes)]).astype(np.int32)
+                cl_min, cl_max = cl_min[sorder], cl_max[sorder]
+                return (order, cl_start, cl_min, cl_max,
+                        np.asarray(s_start, np.int32), s_min, s_max)
+            if force:
+                return (order, cl_start, cl_min, cl_max,
+                        np.arange(n_cl + 1, dtype=np.int32), cl_min, cl_max)
+            return order, cl_start, cl_min, cl_max, None, None, None
+
+        # static/moving split: when a moving scene has a static majority
+        # (book2_final: 1 moving sphere vs the 1005-sphere rest), cluster
+        # the groups separately (static first) so the kernel's hot loop
+        # over the static clusters is compiled WITHOUT the per-sphere
+        # motion reads/FMAs; the kernel splits its super-cluster fori at
+        # n_ssc_static.  Sub-64 static groups aren't worth the extra
+        # hierarchy level (bouncing_spheres: 4 static of 489).
+        movingp = ((np.abs(vel).max(axis=-1) > 0)
+                   & (np.asarray(scene.sph_mask) > 0))
+        n_mv = int(movingp.sum())
+        split = (moving and n_mv > 0 and (n_spheres - n_mv) >= 64
+                 and not os.environ.get("RTT_NO_MOTION_SPLIT"))
+
+        if split:
+            def _group(idx):
+                o, cs, mn, mx = build_sphere_clusters(
+                    cmid[idx], rswept[idx], max_leaf=sphere_max_leaf)
+                return idx[np.asarray(o)], np.asarray(cs, np.int32), mn, mx
+
+            parts = [_supers(*_group(np.where(~movingp)[0]), force=True),
+                     _supers(*_group(np.where(movingp)[0]), force=True)]
+            (o1, cs1, mn1, mx1, ss1, smn1, smx1) = parts[0]
+            (o2, cs2, mn2, mx2, ss2, smn2, smx2) = parts[1]
+            order = np.concatenate([o1, o2]).astype(np.int32)
             cl_start = np.concatenate(
-                [[0], np.cumsum(sizes)]).astype(np.int32)
-            cl_min, cl_max = cl_min[sorder], cl_max[sorder]
+                [cs1, cs2[1:] + cs1[-1]]).astype(np.int32)
+            cl_min = np.concatenate([mn1, mn2])
+            cl_max = np.concatenate([mx1, mx2])
+            s_start = np.concatenate(
+                [ss1, ss2[1:] + (cs1.shape[0] - 1)]).astype(np.int32)
+            s_min = np.concatenate([smn1, smn2])
+            s_max = np.concatenate([smx1, smx2])
+            n_ssc_static = ss1.shape[0] - 1
+        else:
+            order, cl_start, cl_min, cl_max = build_sphere_clusters(
+                cmid, rswept, max_leaf=sphere_max_leaf)  # default 32:
+            # measured optimum on the 489-sphere flagship: 8 -> 9.8,
+            # 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
+            (order, cl_start, cl_min, cl_max,
+             s_start, s_min, s_max) = _supers(
+                order, cl_start, cl_min, cl_max, force=False)
+
+        n_clusters = cl_start.shape[0] - 1
+        if s_start is not None:
             n_sclusters = s_start.shape[0] - 1
             sclb = jnp.asarray(np.concatenate(
                 [s_min, s_max, np.zeros((n_sclusters, 2), np.float32)],
                 axis=1))
             scls = jnp.asarray(s_start, dtype=jnp.int32)
+        else:
+            n_sclusters = 0
+            sclb = jnp.zeros((1, 8), _F32)
+            scls = jnp.zeros(2, jnp.int32)
 
         # pad cluster ranges to multiples of the kernel's sphere-loop unroll
         # with unhittable sentinel rows (r2 = -BIG => disc < 0 always), then
@@ -2145,7 +2227,6 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     # winner-attribute gather table: selected columns of the (cluster-
     # reordered) sphere table, laid out as [n_attrs * n_slabs, 128] so each
     # row is one lane-confined gather slab
-    moving = "motion" in scene.features
     has_image = segment and ("image" in scene.features)
     has_tex = (("checker" in scene.features) or ("noise" in scene.features)
                or has_image)
@@ -2213,6 +2294,7 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                   ptab=ptab, vtab=vtab, atab=atab, cam_u=cam_u, bg=bg)
     statics = dict(
         n_quads=n_quads, n_clusters=n_clusters, n_sclusters=n_sclusters,
+        n_ssc_static=n_ssc_static,
         n_media=n_media, media_kinds=media_kinds,
         unroll=unroll, b_unroll=b_unroll,
         has_noise=has_noise, n_slabs=n_slabs, has_image=has_image,

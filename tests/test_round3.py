@@ -195,3 +195,74 @@ def test_pack_image_dma_roundtrip():
     for j, i in ((0, 0), (37, 411), (h - 1, w - 1)):
         t = base + j * w + i
         np.testing.assert_array_equal(flat[t * 4:t * 4 + 3], img[j, i])
+
+
+def test_motion_split_partitions_clusters():
+    """Static/moving sphere split (round 3): a moving scene with a static
+    majority clusters the two groups separately — leading super-clusters
+    hold only zero-velocity spheres (the kernel compiles their loop without
+    the per-sphere motion reads), trailing ones only movers, and no active
+    sphere is lost (sphere.rs:30-35 center-at-time, paid only where centers
+    move)."""
+    from rustraytrace_tpu.ops.pallas_megakernel import prepare_megakernel
+
+    scene, cfg, _ = models.book2_final_scene(dict(image_width=48))
+    cam = derive_camera(cfg)
+    arrays, st = prepare_megakernel(scene, cam, width=48, height=48, spp=2,
+                                    max_depth=4, segment=True)
+    nss, nsc = st["n_ssc_static"], st["n_sclusters"]
+    assert 0 < nss < nsc, (nss, nsc)
+    gtab = np.asarray(arrays["tab"])
+    assert gtab.shape[0] == 7  # moving layout: cx cy cz r2 vx vy vz
+    scls = np.asarray(arrays["scls"])
+    cls = np.asarray(arrays["cls"])
+    sph_b = cls[scls[nss]] * st["unroll"]
+    act = gtab[3] > 0  # padding sentinels (r2 = -BIG) borrow row-0 attrs
+    vmax = np.abs(gtab[4:7]).max(axis=0)
+    assert vmax[:sph_b][act[:sph_b]].max() == 0.0
+    assert vmax[sph_b:][act[sph_b:]].min() > 0.0
+    n_active = int(np.asarray(scene.sph_mask).sum())
+    assert int(act.sum()) == n_active
+    # cluster/super-cluster tables stay consistent: starts monotone, last
+    # super covers the last cluster, bounds contain their spheres
+    assert scls[-1] == st["n_clusters"]
+    assert (np.diff(scls) >= 1).all() and (np.diff(cls) >= 0).all()
+    clb = np.asarray(arrays["clb"])
+    for c in range(st["n_clusters"]):
+        lo, hi = cls[c] * st["unroll"], cls[c + 1] * st["unroll"]
+        rows = np.arange(lo, hi)[act[lo:hi]]
+        if rows.size == 0:
+            continue
+        # swept-bound convention: center' = c + v/2, radius' = r + |v|/2
+        rsw = (np.sqrt(gtab[3, rows])
+               + 0.5 * np.linalg.norm(gtab[4:7, rows], axis=0))
+        for ax in range(3):
+            cm = gtab[ax, rows] + 0.5 * gtab[4 + ax, rows]
+            assert (cm - rsw >= clb[c, ax] - 1e-3).all()
+            assert (cm + rsw <= clb[c, 3 + ax] + 1e-3).all()
+
+
+def test_motion_split_gates():
+    """No split for all-static scenes (flagship) and for scenes without a
+    64-sphere static majority; env kill-switch honored."""
+    import os
+
+    from rustraytrace_tpu.ops.pallas_megakernel import prepare_megakernel
+
+    scene, cfg, _ = models.book1_random_spheres(dict(image_width=48))
+    _, st = prepare_megakernel(scene, derive_camera(cfg), width=48,
+                               height=27, spp=2, max_depth=4)
+    assert st["n_ssc_static"] == 0 and not st["moving"]
+
+    scene2, cfg2, _ = models.book2_bouncing_spheres(dict(image_width=48))
+    os.environ["RTT_NO_MOTION_SPLIT"] = "1"
+    try:
+        _, st2 = prepare_megakernel(scene2, derive_camera(cfg2), width=48,
+                                    height=27, spp=2, max_depth=4)
+        assert st2["n_ssc_static"] == 0 and st2["moving"]
+    finally:
+        del os.environ["RTT_NO_MOTION_SPLIT"]
+    _, st3 = prepare_megakernel(scene2, derive_camera(cfg2), width=48,
+                                height=27, spp=2, max_depth=4,
+                                tile_rows=16)  # new kwargs combo: no cache
+    assert 0 < st3["n_ssc_static"] < st3["n_sclusters"]

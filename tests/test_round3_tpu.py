@@ -127,3 +127,31 @@ def test_wavefront_mis_image_matches_xla_mean():
     assert np.all(np.isfinite(img_w))
     m_w, m_x = img_w.mean(), img_x.mean()
     assert abs(m_w - m_x) < 0.01 + 0.03 * m_x, (m_w, m_x)
+
+
+def test_motion_split_is_bit_invariant():
+    """The static/moving split only re-partitions the intersect loop (and
+    reorders clusters); every sphere test computes identical f32 values and
+    the RNG streams don't depend on cluster order, so the radiance must be
+    bit-identical with the split disabled (RTT_NO_MOTION_SPLIT=1).  Fresh
+    scene objects per variant: the prep cache is identity-keyed."""
+    import os
+
+    from rustraytrace_tpu.ops.pallas_megakernel import render_pass_megakernel
+
+    def render(nosplit):
+        if nosplit:
+            os.environ["RTT_NO_MOTION_SPLIT"] = "1"
+        else:
+            os.environ.pop("RTT_NO_MOTION_SPLIT", None)
+        try:
+            scene, cfg, _ = models.book2_bouncing_spheres(
+                dict(image_width=96))
+            cam = derive_camera(cfg)
+            return np.asarray(render_pass_megakernel(
+                scene, cam, jax.random.key(5), width=96, height=54, spp=8,
+                max_depth=8, respawn=True))
+        finally:
+            os.environ.pop("RTT_NO_MOTION_SPLIT", None)
+
+    np.testing.assert_array_equal(render(False), render(True))
