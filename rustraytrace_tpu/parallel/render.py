@@ -134,6 +134,53 @@ def spp_traced(spp: int, mesh: Mesh) -> int:
     return -(-spp // n_spp) * n_spp
 
 
+def resolve_sharded_backend(scene: Scene, integrator: str, mesh: Mesh,
+                            backend: str = "auto",
+                            _mk_eligible=None, _wf_eligible=None) -> str:
+    """Route a sharded render to its per-pass kernel; the sharded analog of
+    ``render.resolve_backend`` and the ONE place its guard logic lives.
+
+    Contract (mirrors the single-chip router, ``render.py:100-127``): the
+    wavefront dispatcher handles BOTH 'path' and 'mis' — its persist loop
+    carries in-kernel NEE/MIS and its sharded entry already threads
+    ``mis=integrator == 'mis'`` (``parallel/megakernel.py``
+    render_image_sharded_megakernel) — so the guard only rejects integrators
+    neither kernel family implements.  (Round 3 shipped a stale guard here
+    that raised on wavefront+MIS, a combination its own auto-routing
+    selected; tests/test_parallel.py::test_sharded_routing_decision_table
+    pins the decision table mesh-free so CPU CI catches any recurrence.)
+
+    ``_mk_eligible`` / ``_wf_eligible`` inject the eligibility predicates
+    (signature ``(scene, integrator, mesh) -> bool``) so the decision table
+    is testable without TPU devices; production callers leave them None.
+    """
+    from .megakernel import (megakernel_shard_eligible,
+                             wavefront_shard_eligible)
+
+    mk = _mk_eligible or megakernel_shard_eligible
+    wf = _wf_eligible or wavefront_shard_eligible
+    if backend == "auto":
+        if mk(scene, integrator, mesh):
+            # same collapsed routing as render.resolve_backend: the
+            # persistent-respawn kernel won every measured scene, so
+            # path -> 'wavefront' and mis -> 'megakernel' (both respawn)
+            backend = "wavefront" if integrator == "path" else "megakernel"
+        elif wf(scene, integrator, mesh):
+            backend = "wavefront"
+        else:
+            backend = "xla"
+    if backend not in ("xla", "megakernel", "wavefront"):
+        raise ValueError(
+            f"sharded rendering supports backends 'auto', 'xla', "
+            f"'megakernel', 'wavefront'; got {backend!r}")
+    if backend in ("megakernel", "wavefront") and integrator not in (
+            "path", "mis"):
+        raise ValueError(
+            f"backend={backend!r} supports integrators 'path' and 'mis'; "
+            f"use 'xla' for integrator={integrator!r}")
+    return backend
+
+
 def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
                          integrator: str = "path", chunk: int = 65536,
                          progress=None, accum_state: Optional[dict] = None,
@@ -153,28 +200,7 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
     """
     import numpy as np
 
-    from .megakernel import (megakernel_shard_eligible,
-                             wavefront_shard_eligible)
-
-    if backend == "auto":
-        if megakernel_shard_eligible(scene, integrator, mesh):
-            # same collapsed routing as render.resolve_backend: the
-            # persistent-respawn kernel won every measured scene, so
-            # path -> 'wavefront' and mis -> 'megakernel' (both respawn)
-            backend = "wavefront" if integrator == "path" else "megakernel"
-        elif wavefront_shard_eligible(scene, integrator, mesh):
-            backend = "wavefront"
-        else:
-            backend = "xla"
-    if backend not in ("xla", "megakernel", "wavefront"):
-        raise ValueError(
-            f"sharded rendering supports backends 'auto', 'xla', "
-            f"'megakernel', 'wavefront'; got {backend!r}")
-    if backend == "wavefront" and integrator != "path":
-        raise ValueError(
-            "backend='wavefront' supports only the 'path' integrator "
-            "(the segment/respawn kernels run without NEE/MIS); use "
-            "'megakernel' or 'xla' for integrator=" + repr(integrator))
+    backend = resolve_sharded_backend(scene, integrator, mesh, backend)
     if backend in ("megakernel", "wavefront"):
         from .megakernel import render_image_sharded_megakernel
 

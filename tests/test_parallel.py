@@ -83,6 +83,44 @@ def test_render_image_sharded_matches_single(small_scene):
     np.testing.assert_array_equal(img1, img8)
 
 
+def test_sharded_routing_decision_table(small_scene):
+    """Mesh-free pin of the sharded routing/guard table (round-3 regression:
+    a stale guard raised on wavefront+MIS — the very combination the
+    auto-router selects for image+MIS scenes on TPU meshes).  Eligibility
+    predicates are injected so the table is exercised without TPU devices."""
+    from rustraytrace_tpu.parallel.render import resolve_sharded_backend
+
+    scene, _, _ = small_scene
+    mesh = make_mesh(jax.devices())
+    yes = lambda s, i, m: True
+    no = lambda s, i, m: False
+
+    # auto-routing, megakernel-eligible (plain TPU scene)
+    assert resolve_sharded_backend(scene, "path", mesh, "auto",
+                                   _mk_eligible=yes) == "wavefront"
+    assert resolve_sharded_backend(scene, "mis", mesh, "auto",
+                                   _mk_eligible=yes) == "megakernel"
+    # auto-routing, wavefront-only-eligible (image scenes) — BOTH integrators
+    # must route without raising (the round-3 bug raised on 'mis' here)
+    for integ in ("path", "mis"):
+        assert resolve_sharded_backend(
+            scene, integ, mesh, "auto", _mk_eligible=no,
+            _wf_eligible=yes) == "wavefront"
+    # nothing eligible -> xla
+    assert resolve_sharded_backend(scene, "mis", mesh, "auto",
+                                   _mk_eligible=no, _wf_eligible=no) == "xla"
+    # explicit backends: every auto-selectable (backend, integrator) pair is
+    # accepted explicitly too
+    for be in ("megakernel", "wavefront"):
+        for integ in ("path", "mis"):
+            assert resolve_sharded_backend(scene, integ, mesh, be) == be
+    # the guard still rejects integrators no kernel implements
+    with pytest.raises(ValueError):
+        resolve_sharded_backend(scene, "nonsense", mesh, "wavefront")
+    with pytest.raises(ValueError):
+        resolve_sharded_backend(scene, "path", mesh, "bogus-backend")
+
+
 def test_mis_integrator_sharded(small_scene):
     """The book-3 MIS estimator also runs under shard_map."""
     scene, cfg, _ = models.book3_cornell_box(
