@@ -38,8 +38,8 @@ from .scene import Scene
 def render_mean(scene: Scene, cam: CameraParams, key: jax.Array, *,
                 width: int, height: int, spp: int, max_depth: int,
                 mesh: Mesh, integrator: str = "path",
-                chunk: int = 65536, warp_primary: bool = True,
-                warp_secondary: bool = False) -> jnp.ndarray:
+                chunk: int = 65536,
+                warp_primary: bool = True) -> jnp.ndarray:
     """Differentiable MEAN-radiance render [H, W, 3] (linear space).
 
     ``warp_primary`` (default ON here) enables the warped-area silhouette
@@ -52,7 +52,6 @@ def render_mean(scene: Scene, cam: CameraParams, key: jax.Array, *,
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mesh=mesh, integrator=integrator, chunk=chunk,
         remat=True, warp_primary=warp_primary,
-        warp_secondary=warp_secondary,
     )
     return acc / total
 

@@ -47,10 +47,6 @@ class IntegratorOptions:
     # "xla" = general gather path; "sphere_kernel" = Pallas closest-hit
     # megastep for sphere-only scenes (see ops/pallas_hit.py)
     backend: str = "xla"
-    # per-bounce silhouette reparameterization of the lambertian scatter
-    # draws (ops/warp.py warped_scatter_dirs): forward-identical, gradients
-    # gain the SHADOW boundary term.  trace_path only.
-    warp_secondary: bool = False
 
 
 def n_media(scene: Scene) -> int:
@@ -118,23 +114,6 @@ def trace_path(key: jax.Array, o, d, time, scene: Scene, background,
         new_atten = atten * sc.attenuation
 
         direction = sc.direction
-        if opts.warp_secondary:
-            # per-bounce silhouette reparameterization of the lambertian
-            # scatter draws (ops/warp.py): direction and the det≡1 weight
-            # are value-identical; gradients gain the SHADOW boundary term
-            from .warp import warped_scatter_dirs
-
-            lam_mask = sc.is_lambertian & rec.valid
-            # sanitize non-participating lanes BEFORE the warp: jnp.where
-            # masks values but NOT the NaN gradients a miss-lane's huge
-            # rec.p would inject through the shared subgraph (0 * NaN)
-            safe_o = jnp.where(lam_mask[:, None], rec.p, 0.0)
-            safe_n = jnp.where(lam_mask[:, None], rec.normal,
-                               jnp.asarray([0.0, 0.0, 1.0], rec.p.dtype))
-            lam_w, det_b = warped_scatter_dirs(
-                draws[:, 0:2], safe_o, safe_n, time, scene)
-            direction = jnp.where(lam_mask[:, None], lam_w, direction)
-            new_atten = new_atten * jnp.where(lam_mask, det_b, 1.0)[:, None]
 
         # Russian roulette (renderer.wgsl:225-231). The survival probability
         # is a SAMPLING decision — detached so inverse-rendering gradients

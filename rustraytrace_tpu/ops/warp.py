@@ -28,19 +28,29 @@ field needs full u-dependence).  Properties:
   of variables is exact for any smooth warp.
 
 Scope: sphere silhouettes (the parameters BASELINE config 4 asks to
-recover), on PRIMARY rays (``warped_primary_rays``, analytic u-gradients)
-and — round 3 — on SECONDARY lambertian bounce rays
-(``warped_scatter_dirs``, the per-bounce reparameterization of the
-scattering direction from Bangaru et al. 2020 §5, with jvp-derived
-u-gradients): the sub-pixel warp construction is reused verbatim in the
-2-D scatter-draw space, where the occluder silhouette seen from the hit
-point is the zero set of the same ray-sphere discriminant.  This carries
-SHADOW boundary terms (an occluder visible only through its shadow gets a
-usable gradient — tests/test_silhouette.py::test_secondary_silhouette_warp_fd_vs_ad).
-Remaining interior-only couplings: specular/isotropic bounce directions,
-MIS light-sample visibility, and receiver-geometry-driven shadow motion
-(the warp field detaches the bounce origin/normal, matching the primary
-warp's detached-origin convention).
+recover), on PRIMARY rays only (``warped_primary_rays``, analytic
+u-gradients).  SECONDARY (shadow) silhouettes are interior-only — the
+residual bias is pinned by tests/test_silhouette.py::
+test_secondary_silhouette_residual_bias_quantified.
+
+A per-bounce scatter-draw warp (Bangaru et al. 2020 §5 applied to
+``dir(u) = normal + unit_vector(u)``) was built and REMOVED in round 4
+after FD-vs-AD validation failed.  Measured findings, for whoever retries:
+(1) the scatter u-square maps the whole hemisphere, so the primary σ=0.5
+bump covered ~97% of draws (silhouettes sit ~0.1-0.3 φ̂-units from a random
+draw) and every lane warped with the boundary velocity — |∂θ dir| averaged
+~7e3 per unit center shift; (2) pole draws (u2≈0/1) meet the unit_vector
+sqrt's infinite Jacobian and NaN the whole gradient once u_w carries
+θ-dependence; (3) lanes bouncing OFF a sphere see their own surface at
+c0≈0, where scale≈1e-15 divisors overflow the second-order jvp (a
+t_root-window gate fixes this); (4) with all of the above fixed and σ=0.02
+the isolated estimator E[f·det] matched FD to 1% at 2M samples from ONE
+origin, but at render level (20², 512-8192 spp, shadow-occluder scene) the
+det-term variance swamped the FD=9 signal (per-seed AD swung -4..+2) —
+the u-space measure distortion concentrates unbounded per-lane
+contributions in an O(σ) band, and no tested σ ∈ [0.005, 0.5] converged.
+A retry needs a direction-space warp with harmonic/partition-of-unity
+weights, not this u-square construction.
 The reference has no gradients of any kind (it is a forward renderer).
 """
 
@@ -188,101 +198,3 @@ def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None):
     return origin, direction, time, det
 
 
-# ---------------------------------------------------------------------------
-# Secondary bounces: per-bounce scatter-direction reparameterization
-# ---------------------------------------------------------------------------
-
-
-def _sphere_disc(o, d, time, C, V, r):
-    """Ray-quadric discriminant [R,N] of rays (o, d(+time motion)) against
-    every sphere — the same expansion as :func:`_disc_terms` without the
-    analytic u-gradients (the secondary warp derives those by jvp through
-    the draws->direction map instead)."""
-    hi = jax.lax.Precision.HIGHEST
-    tcol = time[:, None]
-    d_C = jnp.dot(d, C.T, precision=hi)
-    d_V = jnp.dot(d, V.T, precision=hi)
-    o_C = jnp.dot(o, C.T, precision=hi)
-    o_V = jnp.dot(o, V.T, precision=hi)
-    C2 = jnp.sum(C * C, axis=-1)
-    CV = jnp.sum(C * V, axis=-1)
-    V2 = jnp.sum(V * V, axis=-1)
-    o2 = jnp.sum(o * o, axis=-1)
-    d_o = jnp.sum(d * o, axis=-1)
-    a = jnp.sum(d * d, axis=-1)
-    h = d_C + tcol * d_V - d_o[:, None]
-    cc2 = (C2[None, :] + 2.0 * tcol * CV[None, :]
-           + (tcol * tcol) * V2[None, :])
-    c0 = cc2 - 2.0 * (o_C + tcol * o_V) + o2[:, None] - (r * r)[None, :]
-    return h * h - a[:, None] * c0
-
-
-def warped_scatter_dirs(u, origin, normal, time, scene: Scene):
-    """Warp the 2 lambertian scatter uniforms so sphere silhouettes seen
-    from the bounce origin are θ-stationary (Bangaru et al. 2020 §5 applied
-    to ``dir(u) = normal + unit_vector(u)``).
-
-    u: [R,2] scatter draws; origin/normal: [R,3] hit point + shading
-    normal; time: [R].  Returns (direction [R,3], det [R]) — the direction
-    is bit-identical in value to materials.scatter's lambertian branch
-    (same near-zero guard), det ≡ 1 in value; both carry the visibility
-    boundary derivative w.r.t. the SCENE SPHERE arrays.  The warp-field
-    geometry uses the detached origin/normal (primary-warp convention)."""
-    from .rng import unit_vector
-
-    sg = jax.lax.stop_gradient
-    o_d = sg(origin)
-    n_d = sg(normal)
-    t_d = sg(time)
-    C_a, V_a, r_a = scene.sph_center, scene.sph_cvel, scene.sph_radius
-    C_d, V_d, r_d = sg(C_a), sg(V_a), sg(r_a)
-    mask = sg(scene.sph_mask)
-
-    def dir_of(uu):
-        # the WARP-FIELD direction map only: sqrt floor keeps the jvp at
-        # the z = ±1 poles (u2 drawn exactly 0) finite; the FINAL returned
-        # direction below uses the exact unit_vector so the value path
-        # stays bit-identical to materials.scatter
-        from .rng import TWO_PI
-
-        a = uu[:, 0] * TWO_PI
-        z = uu[:, 1] * 2.0 - 1.0
-        rr = jnp.sqrt(jnp.maximum(1e-12, 1.0 - z * z))
-        return n_d + jnp.stack(
-            [rr * jnp.cos(a), rr * jnp.sin(a), z], axis=-1)
-
-    def disc_attached(uu):
-        return _sphere_disc(o_d, dir_of(uu), t_d, C_a, V_a, r_a)
-
-    def disc_detached(uu):
-        return _sphere_disc(o_d, dir_of(uu), t_d, C_d, V_d, r_d)
-
-    dt = u.dtype
-    e1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0], dt), u.shape)
-    e2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], dt), u.shape)
-
-    def W(uu):
-        disc_det, gx = jax.jvp(disc_detached, (uu,), (e1,))
-        _, gy = jax.jvp(disc_detached, (uu,), (e2,))
-        disc_a = disc_attached(uu)
-        # same normalization/bump/floor construction as _warp_field
-        gnorm = jnp.sqrt(gx * gx + gy * gy + 1e-30)
-        scale = jnp.maximum(gnorm, 1e-3 * (jnp.abs(disc_det) + 1e-12))
-        delta = (disc_a - disc_det) / scale  # == 0 in value; ∂θ = ∂θ φ̂
-        k = jnp.exp(-(disc_det / scale / _SIGMA) ** 2) * mask[None, :]
-        wx = -jnp.sum(k * delta * (gx / scale), axis=-1)
-        wy = -jnp.sum(k * delta * (gy / scale), axis=-1)
-        return jnp.stack([wx, wy], axis=-1)
-
-    w_val, j1 = jax.jvp(W, (u,), (e1,))
-    _, j2 = jax.jvp(W, (u,), (e2,))
-    det = ((1.0 + j1[:, 0]) * (1.0 + j2[:, 1]) - j1[:, 1] * j2[:, 0])
-
-    u_w = u + w_val  # value-identical
-    # final direction uses the ATTACHED normal (the interior/reparameterized
-    # normal gradient) — exactly materials.scatter's lambertian form,
-    # near-zero guard included
-    lam = normal + unit_vector(u_w[:, 0], u_w[:, 1])
-    near_zero = jnp.sum(lam * lam, axis=-1) < 1e-16
-    lam = jnp.where(near_zero[:, None], normal, lam)
-    return lam, det

@@ -44,7 +44,7 @@ def _ceil_to(x: int, m: int) -> int:
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "integrator",
                      "chunk", "stratified", "sqrt_spp", "mesh", "remat",
-                     "backend", "warp_primary", "warp_secondary"),
+                     "backend", "warp_primary"),
 )
 def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         width: int, height: int, spp: int, max_depth: int,
@@ -54,8 +54,7 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         sample_offset: jnp.ndarray | int = 0,
                         remat: bool = True,
                         backend: str = "xla",
-                        warp_primary: bool = False,
-                        warp_secondary: bool = False) -> jnp.ndarray:
+                        warp_primary: bool = False) -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across the mesh.
 
     Returns the radiance SUM [H, W, 3] (replicated over 'spp', sharded over
@@ -97,7 +96,6 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                     integrator=integrator, stratified=stratified,
                     sqrt_spp=sqrt_spp, backend=backend,
                     warp_primary=warp_primary,
-                    warp_secondary=warp_secondary,
                 )
                 return None, rad
 

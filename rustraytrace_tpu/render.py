@@ -36,8 +36,8 @@ def _ceil_to(x: int, m: int) -> int:
 def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
                s_idx, px, py, *, max_depth: int, integrator: str = "path",
                stratified: bool = False, sqrt_spp: int = 0,
-               backend: str = "xla", warp_primary: bool = False,
-               warp_secondary: bool = False) -> jnp.ndarray:
+               backend: str = "xla",
+               warp_primary: bool = False) -> jnp.ndarray:
     """Trace ONE sample for a chunk of pixels; the shared inner unit of both
     the single-chip pass loop and the sharded (shard_map) pass.
 
@@ -53,9 +53,7 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     """
     dt = jnp.float32
     opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode,
-                             backend=backend,
-                             warp_secondary=warp_secondary
-                             and integrator == "path")
+                             backend=backend)
     trace = trace_mis if integrator == "mis" else trace_path
     k_cam, k_path = jax.random.split(key_sc)
     cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)

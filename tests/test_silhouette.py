@@ -104,7 +104,10 @@ def test_secondary_silhouette_residual_bias_quantified():
 
     If this test ever FAILS on the `ad/fd` bound because AD caught up, the
     warp gained secondary coverage — move the bound, and delete the scope
-    note."""
+    note.  (Round 4 tried exactly that — a per-bounce scatter-draw warp —
+    and removed it after FD-vs-AD validation failed; the measured post-
+    mortem is in ops/warp.py's module docstring.  This test remains the
+    pinned statement of the primary-only scope.)"""
     key = jax.random.key(7)
     spp = 512
 
