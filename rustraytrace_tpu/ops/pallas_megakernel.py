@@ -2153,13 +2153,28 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         movingp = ((np.abs(vel).max(axis=-1) > 0)
                    & (np.asarray(scene.sph_mask) > 0))
         n_mv = int(movingp.sum())
-        split = (moving and n_mv > 0 and (n_spheres - n_mv) >= 64
+        # gate on the ACTIVE static count, not table rows: sph_mask==0
+        # padding rows are static too, and counting them would take the
+        # split + forced identity super-cluster level for a scene whose
+        # real static group is below the worthwhile threshold
+        n_static = int(((~movingp) & (np.asarray(scene.sph_mask) > 0)).sum())
+        split = (moving and n_mv > 0 and n_static >= 64
                  and not os.environ.get("RTT_NO_MOTION_SPLIT"))
+
+        from .bvh import cluster_spheres_spatial
+
+        def _cluster(c, r):
+            # SAH treelet cut, upgraded to spatial-split grid binning when
+            # the SAH clusters overlap pathologically (book2_final's cloud);
+            # the C++ SAH builder stays the fast path inside the dispatch
+            return cluster_spheres_spatial(
+                c, r, max_leaf=sphere_max_leaf,
+                build_sah=lambda cc, rr, ml: build_sphere_clusters(
+                    cc, rr, max_leaf=ml))
 
         if split:
             def _group(idx):
-                o, cs, mn, mx = build_sphere_clusters(
-                    cmid[idx], rswept[idx], max_leaf=sphere_max_leaf)
+                o, cs, mn, mx = _cluster(cmid[idx], rswept[idx])
                 return idx[np.asarray(o)], np.asarray(cs, np.int32), mn, mx
 
             parts = [_supers(*_group(np.where(~movingp)[0]), force=True),
@@ -2177,10 +2192,9 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
             s_max = np.concatenate([smx1, smx2])
             n_ssc_static = ss1.shape[0] - 1
         else:
-            order, cl_start, cl_min, cl_max = build_sphere_clusters(
-                cmid, rswept, max_leaf=sphere_max_leaf)  # default 32:
-            # measured optimum on the 489-sphere flagship: 8 -> 9.8,
-            # 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
+            order, cl_start, cl_min, cl_max = _cluster(cmid, rswept)
+            # max_leaf default 32: measured optimum on the 489-sphere
+            # flagship: 8 -> 9.8, 16 -> 12.9, 32 -> 13.7, 64 -> 12.8 Mpaths/s
             (order, cl_start, cl_min, cl_max,
              s_start, s_min, s_max) = _supers(
                 order, cl_start, cl_min, cl_max, force=False)
@@ -2331,8 +2345,16 @@ def prepare_megakernel_cached(scene: Scene, cam, **kw):
     wall time (earth via render_pass: 49 vs 78 Mpaths/s prepared-once).
     Entries hold STRONG references and are checked with ``is`` on both
     scene and camera, so id() reuse after GC can never alias a stale
-    entry; the cache keeps the last few (scene, cam, kwargs) combos."""
-    kw_t = tuple(sorted(kw.items()))
+    entry; the cache keeps the last few (scene, cam, kwargs) combos.
+    Prep output also depends on the RTT_NO_MOTION_SPLIT env knob (the
+    static/moving cluster split), so it is part of the key — toggling it
+    mid-process must not return a stale split layout.  Same for the
+    sphere-grid knobs (spatial-split binning, ops/bvh.py)."""
+    kw_t = (tuple(sorted(kw.items())),
+            bool(os.environ.get("RTT_NO_MOTION_SPLIT")),
+            bool(os.environ.get("RTT_NO_SPHERE_GRID")),
+            os.environ.get("RTT_GRID_RES"),
+            os.environ.get("RTT_GRID_FILL"))
     for ent in _PREP_CACHE:
         if ent[0] is scene and ent[1] is cam and ent[2] == kw_t:
             return ent[3], ent[4]

@@ -183,7 +183,7 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
                          integrator: str = "path", chunk: int = 65536,
                          progress=None, accum_state: Optional[dict] = None,
                          backend: str = "auto", on_pass=None,
-                         assemble=None):
+                         assemble=None, fallback: bool = True):
     """Full sharded render: host pass loop, psum'd accumulation, finalize.
 
     The sharded analog of ``render.render_image``; returns
@@ -195,17 +195,46 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
     framebuffer; the default (plain ``np.asarray``) is correct single-host.
     Multi-host jobs must pass a cross-host gather (multihost.py does), since
     a px-sharded global array is not fully addressable on any one host.
+
+    ``fallback`` (default on): a failing kernel-backed pass loop degrades to
+    the sharded XLA loop, resuming from the last completed pass boundary
+    (the on_pass state) — the sharded analog of ``render.render_image``'s
+    GPU->CPU-style fallback (``src/main.rs:73-85``).
     """
+    import sys
+
     import numpy as np
 
     backend = resolve_sharded_backend(scene, integrator, mesh, backend)
     if backend in ("megakernel", "wavefront"):
         from .megakernel import render_image_sharded_megakernel
 
-        return render_image_sharded_megakernel(
-            scene, cfg, mesh=mesh, integrator=integrator,
-            progress=progress, accum_state=accum_state, on_pass=on_pass,
-            backend=backend)
+        # capture every completed pass so a mid-render kernel failure can
+        # resume on XLA from the last pass boundary instead of restarting
+        last_state = {"state": accum_state}
+
+        def capture(state):
+            last_state["state"] = state
+            if on_pass is not None:
+                on_pass(state)
+
+        try:
+            return render_image_sharded_megakernel(
+                scene, cfg, mesh=mesh, integrator=integrator,
+                progress=progress, accum_state=accum_state, on_pass=capture,
+                backend=backend)
+        except Exception as e:  # noqa: BLE001 — any device/lowering failure
+            if not fallback:
+                raise
+            print(f"# sharded pass loop failed on backend={backend!r} "
+                  f"({e}); falling back to 'xla' from "
+                  f"spp_done={0 if last_state['state'] is None else last_state['state']['spp_done']}",
+                  file=sys.stderr)
+            return render_image_sharded(
+                scene, cfg, mesh=mesh, integrator=integrator, chunk=chunk,
+                progress=progress, accum_state=last_state["state"],
+                backend="xla", on_pass=on_pass, assemble=assemble,
+                fallback=False)
 
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width

@@ -234,12 +234,24 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
                  chunk: int = 65536, progress=None,
                  accum_state: Optional[dict] = None, backend: str = "auto",
-                 on_pass=None):
+                 on_pass=None, fallback: bool = True):
     """Full render: host pass loop over spp mega-batches.
 
     Returns (image_u8 [H,W,3], accum_state dict). ``accum_state`` from a prior
     call resumes accumulation (checkpoint/resume; SURVEY.md §5).
+
+    ``fallback`` (default on): if a kernel-backed pass fails at runtime —
+    Mosaic lowering, tunnel/device errors — the pass is RE-RUN on the XLA
+    backend and the render degrades instead of aborting, the analog of the
+    reference's GPU->CPU fallback (``src/main.rs:73-85``).  Because device
+    errors surface asynchronously (at materialization, not dispatch), each
+    kernel-backed pass is fenced with a scalar device->host copy before its
+    samples are counted; the (sum, spp) accumulation makes the retried pass
+    exact.  Pass ``fallback=False`` to re-raise instead (benchmarks, where a
+    silent backend switch would corrupt the measurement).
     """
+    import sys
+
     backend = resolve_backend(scene, integrator, backend)
     cam = derive_camera(cfg)
     h, w = cfg.image_height, cfg.image_width
@@ -260,13 +272,25 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
 
     while done < spp_total:
         this = min(cfg.spp_per_pass, spp_total - done)
-        accum = accum + render_pass(
-            scene, cam, key,
-            width=w, height=h, spp=this, max_depth=cfg.max_depth,
-            integrator=integrator, chunk=chunk,
-            stratified=stratified, sqrt_spp=sqrt_spp,
-            sample_offset=done, backend=backend,
-        )
+        try:
+            acc_pass = render_pass(
+                scene, cam, key,
+                width=w, height=h, spp=this, max_depth=cfg.max_depth,
+                integrator=integrator, chunk=chunk,
+                stratified=stratified, sqrt_spp=sqrt_spp,
+                sample_offset=done, backend=backend,
+            )
+            if fallback and backend != "xla":
+                np.asarray(acc_pass[0, 0, 0])  # surface async device errors
+        except Exception as e:  # noqa: BLE001 — any device/lowering failure
+            if not fallback or backend == "xla":
+                raise
+            print(f"# render pass failed on backend={backend!r} ({e}); "
+                  f"falling back to 'xla' (main.rs:73-85 analog)",
+                  file=sys.stderr)
+            backend = "xla"
+            continue  # re-run the SAME pass: done was not advanced
+        accum = accum + acc_pass
         done += this
         if progress is not None:
             progress(done, spp_total)

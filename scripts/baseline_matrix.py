@@ -59,8 +59,10 @@ def run(config: int):
         scene, cam, jr.key(0), width=w, height=h, spp=cfg.spp_per_pass,
         max_depth=cfg.max_depth, integrator=integ, backend=backend))
     t0 = time.perf_counter()
+    # fallback=False: a silent kernel->XLA degrade mid-run would corrupt
+    # the measurement; benchmarks must fail loudly instead
     img, state = render.render_image(scene, cfg, integrator=integ,
-                                     backend=backend)
+                                     backend=backend, fallback=False)
     device_fence(img)
     el = time.perf_counter() - t0
     spp = state["spp_done"]

@@ -1,0 +1,113 @@
+"""Runtime backend fallback (the GPU->CPU analog of src/main.rs:73-85).
+
+The reference's CLI degrades a failing wgpu render to the CPU backend at
+runtime; the TPU build's analog degrades a failing kernel-backed pass loop
+to the XLA backend.  These tests exercise the REAL failure path on CPU: the
+megakernel genuinely cannot lower there (pltpu.prng_seed has no CPU/interpret
+lowering), so forcing ``backend="megakernel"`` produces an authentic
+runtime failure that the fallback must absorb — no mocks.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rustraytrace_tpu import models
+from rustraytrace_tpu.parallel import make_mesh, render_image_sharded
+from rustraytrace_tpu.render import render_image
+
+
+@pytest.fixture(scope="module")
+def small():
+    scene, cfg, integ = models.book1_three_spheres(
+        dict(image_width=32, samples_per_pixel=4, max_depth=4,
+             spp_per_pass=2)
+    )
+    return scene, cfg.replace(aspect_ratio=2.0), integ  # 32x16
+
+
+def test_render_image_falls_back_to_xla(small, capfd):
+    """A kernel backend that fails at runtime completes the render on XLA,
+    bit-identical to a pure-XLA render (the retried pass reuses the same
+    (key, sample_offset) stream)."""
+    scene, cfg, integ = small
+    ref, st_ref = render_image(scene, cfg, integrator=integ, backend="xla",
+                               chunk=256)
+    img, st = render_image(scene, cfg, integrator=integ,
+                           backend="megakernel", chunk=256)
+    assert st["spp_done"] == st_ref["spp_done"]
+    np.testing.assert_array_equal(img, ref)
+    err = capfd.readouterr().err
+    assert "falling back to 'xla'" in err
+
+
+def test_render_image_fallback_off_raises(small):
+    scene, cfg, integ = small
+    with pytest.raises(Exception):
+        render_image(scene, cfg, integrator=integ, backend="megakernel",
+                     chunk=256, fallback=False)
+
+
+def test_render_image_sharded_falls_back(small, capfd):
+    """The sharded loop degrades to the sharded XLA loop and matches it."""
+    scene, cfg, integ = small
+    mesh = make_mesh(jax.devices())
+    ref, st_ref = render_image_sharded(scene, cfg, mesh=mesh,
+                                       integrator=integ, chunk=256,
+                                       backend="xla")
+    img, st = render_image_sharded(scene, cfg, mesh=mesh, integrator=integ,
+                                   chunk=256, backend="megakernel")
+    assert st["spp_done"] == st_ref["spp_done"]
+    np.testing.assert_array_equal(img, ref)
+    err = capfd.readouterr().err
+    assert "falling back to 'xla'" in err
+
+
+def test_sharded_fallback_resumes_from_pass_boundary(small):
+    """A failure AFTER completed passes resumes XLA from the captured
+    (accum, spp_done) state instead of restarting — the passes already
+    traced are kept (pass boundaries are checkpoints, SURVEY.md §5)."""
+    scene, cfg, integ = small
+    mesh = make_mesh(jax.devices())
+    ref, _ = render_image_sharded(scene, cfg, mesh=mesh, integrator=integ,
+                                  chunk=256, backend="xla")
+
+    import rustraytrace_tpu.parallel.render as pr
+
+    calls = {"n": 0}
+    real = pr.render_pass_sharded
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected device failure")
+        return real(*a, **kw)
+
+    # route through the XLA sharded loop but fail its SECOND pass; with
+    # fallback enabled at the kernel layer only, the xla loop re-raises —
+    # so drive the megakernel entry with a monkeypatched inner loop instead
+    def failing_mk(*a, **kw):
+        on_pass = kw.get("on_pass")
+        # complete one real pass worth of state, then die
+        img_state = real(
+            scene, pr.derive_camera(cfg), jax.random.key(cfg.seed),
+            width=cfg.image_width, height=cfg.image_height,
+            spp=cfg.spp_per_pass, max_depth=cfg.max_depth, mesh=mesh,
+            integrator=integ, chunk=256)
+        if on_pass is not None:
+            on_pass({"accum": img_state, "spp_done": cfg.spp_per_pass})
+        raise RuntimeError("injected mid-render device failure")
+
+    import rustraytrace_tpu.parallel.megakernel as pm
+    orig = pm.render_image_sharded_megakernel
+    pm.render_image_sharded_megakernel = failing_mk
+    try:
+        img, st = render_image_sharded(
+            scene, cfg, mesh=mesh, integrator=integ, chunk=256,
+            backend="megakernel")
+    finally:
+        pm.render_image_sharded_megakernel = orig
+    assert st["spp_done"] == cfg.samples_per_pixel
+    # resumed render == pure-XLA render: pass 1's state was produced by the
+    # same (key, offset) stream the XLA loop would use
+    np.testing.assert_array_equal(img, ref)

@@ -222,7 +222,10 @@ def test_motion_split_partitions_clusters():
     assert vmax[:sph_b][act[:sph_b]].max() == 0.0
     assert vmax[sph_b:][act[sph_b:]].min() > 0.0
     n_active = int(np.asarray(scene.sph_mask).sum())
-    assert int(act.sum()) == n_active
+    # >= since round 4: the static cloud grid-bins with spatial-split
+    # DUPLICATION (tests/test_sphere_grid.py), so active slots can exceed
+    # active spheres; sentinel rows are still the only inactive ones
+    assert int(act.sum()) >= n_active
     # cluster/super-cluster tables stay consistent: starts monotone, last
     # super covers the last cluster, bounds contain their spheres
     assert scls[-1] == st["n_clusters"]
@@ -233,13 +236,17 @@ def test_motion_split_partitions_clusters():
         rows = np.arange(lo, hi)[act[lo:hi]]
         if rows.size == 0:
             continue
-        # swept-bound convention: center' = c + v/2, radius' = r + |v|/2
+        # swept-bound convention: center' = c + v/2, radius' = r + |v|/2.
+        # Since round 4 the cloud's grid cells CLIP member bounds
+        # (spatial-split duplication, tests/test_sphere_grid.py), so the
+        # cluster AABB need only INTERSECT each member's swept AABB —
+        # full containment is no longer an invariant
         rsw = (np.sqrt(gtab[3, rows])
                + 0.5 * np.linalg.norm(gtab[4:7, rows], axis=0))
         for ax in range(3):
             cm = gtab[ax, rows] + 0.5 * gtab[4 + ax, rows]
-            assert (cm - rsw >= clb[c, ax] - 1e-3).all()
-            assert (cm + rsw <= clb[c, 3 + ax] + 1e-3).all()
+            assert (cm + rsw >= clb[c, ax] - 1e-3).all()
+            assert (cm - rsw <= clb[c, 3 + ax] + 1e-3).all()
 
 
 def test_motion_split_gates():
