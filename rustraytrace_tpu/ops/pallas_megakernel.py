@@ -361,21 +361,20 @@ def pack_light_table(scene: Scene):
 
 def mis_lights_ok(scene: Scene) -> bool:
     """Shared in-kernel NEE/MIS constraints (megakernel AND the segmented
-    wavefront): 1..16 NEE lights + no isotropic materials (media excluded).
+    wavefront): 1..16 NEE lights.
 
     The light loops unroll at compile time (static n_lights), so the cap is
     a compile-time cost knob, not a hardware limit: every reference scene
     has <= 2 NEE lights; 16 leaves headroom for user scenes while keeping
-    the unrolled pdf/sample code well inside the instruction budget."""
+    the unrolled pdf/sample code well inside the instruction budget.
+    Isotropic materials / medium scatter events were excluded through
+    round 3; round 4 lifted that (the MIS branch now draws the SpherePdf
+    uniform direction and 1/4π scattering pdf for is_iso lanes, matching
+    trace_mis), so volumetric MIS scenes stay on the fast path."""
     import numpy as np
 
     n_lights = int(np.asarray(jnp.sum(scene.light_mask)))
-    if not (1 <= n_lights <= 16):
-        return False
-    used = set(np.asarray(scene.mat_kind).tolist())
-    from ..scene import ISOTROPIC
-
-    return ISOTROPIC not in used
+    return 1 <= n_lights <= 16
 
 
 def megakernel_mis_eligible(scene: Scene) -> bool:
@@ -1490,6 +1489,16 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 mdx = cl_x * bu_x + cl_y * bv_x + cl_z * nx
                 mdy = cl_x * bu_y + cl_y * bv_y + cl_z * ny
                 mdz = cl_x * bu_z + cl_y * bv_z + cl_z * nz
+                # isotropic lanes (medium scatter events / Isotropic
+                # materials) draw the SpherePdf uniform direction instead
+                # (the_rest_of_your_life/material.rs:177-190, pdf.rs:19-29;
+                # same u5/u6 draws, uniform-sphere mapping — the XLA
+                # estimator's iso_dir analog, integrator.py trace_mis)
+                z_i = u6 * 2.0 - 1.0
+                r_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - z_i * z_i))
+                mdx = jnp.where(is_iso, jnp.cos(phi2) * r_i, mdx)
+                mdy = jnp.where(is_iso, jnp.sin(phi2) * r_i, mdy)
+                mdz = jnp.where(is_iso, z_i, mdz)
 
                 # per-light sampled directions (HittableList::random,
                 # hittable_list.rs:71-75)
@@ -1540,6 +1549,10 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                 ginv = jax.lax.rsqrt(g2)
                 cos_th = (nx * gdx + ny * gdy + nz * gdz) * ginv
                 cpdf = jnp.maximum(cos_th, 0.0) * inv_pi  # pdf.rs:41-49
+                # isotropic: uniform-sphere pdf 1/4π for BOTH the mixture
+                # density and the scattering_pdf (material.rs:187-189) —
+                # mat_pdf == scattering_pdf, exactly as the XLA estimator
+                cpdf = jnp.where(is_iso, 0.25 * inv_pi, cpdf)
 
                 # mixture pdf value: mean over lights of pdf(dir)
                 # (hittable_list.rs:60-69)

@@ -32,9 +32,14 @@ def main():
     w, h, spp, depth = cfg.image_width, cfg.image_height, 64, 40
     key = jax.random.key(0)
 
+    from rustraytrace_tpu.ops.pallas_wavefront import render_pass_wavefront
+
+    tile_rows = int(os.environ.get("BENCH_TILE_ROWS", "0")) or None
+
     def go():
-        return render_pass(scene, cam, key, width=w, height=h, spp=spp,
-                           max_depth=depth, backend="wavefront")
+        return render_pass_wavefront(
+            scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
+            tile_rows=tile_rows)
 
     cases = [("sah", {"RTT_NO_SPHERE_GRID": "1"})]
     cases += [(f"grid_res{r}", {"RTT_GRID_RES": str(r)}) for r in res_list]

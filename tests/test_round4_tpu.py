@@ -61,6 +61,82 @@ def test_grid_layout_bit_identical_dense_cloud(monkeypatch):
     np.testing.assert_array_equal(img_sah, img_grid)
 
 
+def _smoke_mis_scene():
+    """Cornell box + smoke medium box + NEE light: the volumetric-MIS
+    combination excluded from the kernel through round 3 (mis_lights_ok
+    rejected isotropic materials -> ~0.25 M on XLA)."""
+    from rustraytrace_tpu.config import RenderConfig
+    from rustraytrace_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    light = b.diffuse_light((15.0, 15.0, 15.0))
+    b.add_quad((555, 0, 0), (0, 0, 555), (0, 555, 0), green)
+    b.add_quad((0, 0, 555), (0, 0, -555), (0, 555, 0), red)
+    b.add_quad((0, 555, 0), (555, 0, 0), (0, 0, 555), white)
+    b.add_quad((0, 0, 555), (555, 0, 0), (0, 0, -555), white)
+    b.add_quad((555, 0, 555), (-555, 0, 0), (0, 555, 0), white)
+    b.add_quad((213, 554, 227), (130, 0, 0), (0, 0, 105), light)
+    b.add_medium_box((0, 0, 0), (165, 330, 165), 0.01,
+                     b.isotropic((0.0, 0.0, 0.0)), rotate_y_deg=15.0,
+                     translate=(265, 0, 295))
+    b.add_sphere((190, 90, 190), 90.0, b.dielectric(1.5))
+    b.add_light_quad((343, 554, 332), (-130, 0, 0), (0, 0, -105))
+    cfg = RenderConfig(
+        aspect_ratio=1.0, image_width=96, samples_per_pixel=64,
+        max_depth=12, background=(0.0, 0.0, 0.0), vfov=40.0,
+        lookfrom=(278.0, 278.0, -800.0), lookat=(278.0, 278.0, 0.0))
+    return b.build(), cfg
+
+
+def test_isotropic_mis_in_kernel_matches_xla_mean():
+    """Round 4: volumetric scenes stay on the fast path under MIS — the
+    kernel's is_iso lanes draw SpherePdf directions with 1/4π pdfs
+    (material.rs:177-190) and must match the XLA trace_mis radiance mean
+    (same estimator, different RNG streams)."""
+    from rustraytrace_tpu.ops.pallas_megakernel import (
+        megakernel_mis_eligible, render_pass_megakernel)
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg = _smoke_mis_scene()
+    assert megakernel_mis_eligible(scene), "exclusion should be lifted"
+    cam = derive_camera(cfg)
+    w, h = cfg.image_width, cfg.image_height
+    spp = 64
+    img_k = np.asarray(render_pass_megakernel(
+        scene, cam, jax.random.key(2), width=w, height=h, spp=spp,
+        max_depth=cfg.max_depth, mis=True, respawn=True)) / spp
+    img_x = np.asarray(render_pass(
+        scene, cam, jax.random.key(9), width=w, height=h, spp=spp,
+        max_depth=cfg.max_depth, integrator="mis", backend="xla")) / spp
+    assert np.all(np.isfinite(img_k))
+    m_k, m_x = float(img_k.mean()), float(img_x.mean())
+    assert abs(m_k - m_x) < 0.01 + 0.03 * m_x, (m_k, m_x)
+
+
+def test_cornell_mis_no_regression():
+    """Lifting the isotropic exclusion must not disturb the media-free MIS
+    path: book3 cornell mean still matches XLA."""
+    from rustraytrace_tpu.ops.pallas_megakernel import render_pass_megakernel
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg, integ = models.book3_cornell_box(
+        dict(image_width=96, samples_per_pixel=64, max_depth=10))
+    assert integ == "mis"
+    cam = derive_camera(cfg)
+    w, h, spp = 96, 96, 64
+    img_k = np.asarray(render_pass_megakernel(
+        scene, cam, jax.random.key(4), width=w, height=h, spp=spp,
+        max_depth=10, mis=True, respawn=True)) / spp
+    img_x = np.asarray(render_pass(
+        scene, cam, jax.random.key(8), width=w, height=h, spp=spp,
+        max_depth=10, integrator="mis", backend="xla")) / spp
+    m_k, m_x = float(img_k.mean()), float(img_x.mean())
+    assert abs(m_k - m_x) < 0.01 + 0.03 * m_x, (m_k, m_x)
+
+
 def test_grid_layout_bit_identical_book2_final_wavefront(monkeypatch):
     """book2_final through its real dispatcher (segmented wavefront with
     texel resolve): grid vs SAH layouts stay bit-identical end-to-end."""
