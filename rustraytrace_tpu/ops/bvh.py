@@ -261,8 +261,22 @@ def cluster_spheres_spatial(centers, radii, max_leaf: int = 32,
     per-ray-BVH-class pruning of the reference's recursive descent,
     bvh.rs:160-172, in tile-coherent form).
 
+    OPT-IN (RTT_SPHERE_GRID=1), measured OFF by default: on book2_final
+    800²@64 the grid renders bit-identically but LOSES to SAH at every
+    resolution and tile size (v5e, one process each: SAH 8.13 M paths/s vs
+    grid res4/6/8/12 = 5.76/5.12/5.14/5.17; at tile_rows 16: 7.76 vs
+    5.36/4.99; at 8: 6.19 vs 4.66/4.12).  The arithmetic says this cannot
+    win under the kernel's ANY-LANE tile admission with divergent
+    persistent-respawn lanes: duplication has a floor of (1+2r/cell)³ ≈
+    1.9-3.2x for r=10 spheres needing cells ≥ 40, while measured admission
+    only drops ~50% — net work ≥ 0.85x SAH at the theoretical best, worse
+    in practice.  The lever for the cloud is TILE COHERENCE (lane
+    redistribution), not the spatial representation; the grid stays as the
+    building block a coherence scheme would need (per-cell lists), proven
+    bit-exact on hardware (tests/test_round4_tpu.py).
+
     Env knobs (also part of prepare_megakernel_cached's key):
-    RTT_NO_SPHERE_GRID=1 disables; RTT_GRID_RES (default 8) caps the grid
+    RTT_SPHERE_GRID=1 enables; RTT_GRID_RES (default 8) caps the grid
     resolution per axis; RTT_GRID_FILL (default 0.3) is the fill-fraction
     trigger threshold (see :func:`sphere_fill_fraction`).
 
@@ -271,7 +285,7 @@ def cluster_spheres_spatial(centers, radii, max_leaf: int = 32,
     import os
 
     sah = build_sah if build_sah is not None else cluster_spheres_numpy
-    if (os.environ.get("RTT_NO_SPHERE_GRID")
+    if (not os.environ.get("RTT_SPHERE_GRID")
             or centers.shape[0] < 64):
         return sah(centers, radii, max_leaf)
     # trigger on the SMALL-sphere sub-population's fill (the big spheres a

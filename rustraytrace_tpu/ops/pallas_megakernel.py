@@ -2365,7 +2365,7 @@ def prepare_megakernel_cached(scene: Scene, cam, **kw):
     sphere-grid knobs (spatial-split binning, ops/bvh.py)."""
     kw_t = (tuple(sorted(kw.items())),
             bool(os.environ.get("RTT_NO_MOTION_SPLIT")),
-            bool(os.environ.get("RTT_NO_SPHERE_GRID")),
+            bool(os.environ.get("RTT_SPHERE_GRID")),
             os.environ.get("RTT_GRID_RES"),
             os.environ.get("RTT_GRID_FILL"))
     for ent in _PREP_CACHE:

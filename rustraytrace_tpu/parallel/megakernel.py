@@ -177,7 +177,12 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
 
     key = jax.random.key(cfg.seed)
     n = int(mesh.devices.size)
-    per_pass = -(-cfg.spp_per_pass // n) * n
+    from ..render import effective_spp_per_pass
+
+    # fold samples into fewer launches for small images (same per-launch
+    # ray budget as the single-chip loop; dispatch cost is per DEVICE pass)
+    per_pass = -(-effective_spp_per_pass(cfg, backend, spp_total, h * w)
+                 // n) * n
 
     while done < spp_total:
         this = min(per_pass, spp_traced_mesh(spp_total - done, mesh))

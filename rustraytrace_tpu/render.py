@@ -231,6 +231,31 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
     return "xla"
 
 
+# Per-launch ray budget for kernel backends: folding samples into fewer
+# launches amortizes the fixed per-dispatch cost (~200 ms through the axon
+# tunnel — CLAUDE.md), which DOMINATES small renders: BASELINE config 1
+# (400x225 @ 100 spp, 4 primitives) ran 7 launches of 16/4 spp for ~0.36 s
+# of math.  64 M rays/launch keeps the flagship (1200x675 @ 64 spp = 52 M)
+# at one launch and leaves 4K @ 1000 spp on its configured batch.
+_PASS_RAY_TARGET = 64 * 1024 * 1024
+_PASS_SPP_CAP = 1024
+
+
+def effective_spp_per_pass(cfg: RenderConfig, backend: str, spp_total: int,
+                           n_pix: int) -> int:
+    """Samples per launch for the host pass loop.  ``cfg.spp_per_pass`` is
+    the MINIMUM batch (the gpu/mod.rs:11 SPP_PER_PASS analog); kernel
+    backends fold more samples per launch for small images, up to the ray
+    budget.  The XLA backend keeps the configured batch (its pass is a
+    fori_loop over samples — launch count is not its cost model, and the
+    differentiable path's memory scales with the per-pass sample count)."""
+    base = cfg.spp_per_pass
+    if backend == "xla":
+        return base
+    folded = max(base, _PASS_RAY_TARGET // max(n_pix, 1))
+    return max(1, min(spp_total, folded, _PASS_SPP_CAP))
+
+
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
                  chunk: int = 65536, progress=None,
                  accum_state: Optional[dict] = None, backend: str = "auto",
@@ -269,9 +294,10 @@ def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",
 
     key = jax.random.key(cfg.seed)
     chunk = min(chunk, _ceil_to(h * w, 256))
+    per_pass = effective_spp_per_pass(cfg, backend, spp_total, h * w)
 
     while done < spp_total:
-        this = min(cfg.spp_per_pass, spp_total - done)
+        this = min(per_pass, spp_total - done)
         try:
             acc_pass = render_pass(
                 scene, cam, key,

@@ -55,9 +55,18 @@ def run(config: int):
     cam = derive_camera(cfg)
     import jax.random as jr
 
+    # warm at the EFFECTIVE pass size (launch folding, render.py) so the
+    # timed render_image reuses the compiled executable
+    spp_total = cfg.samples_per_pixel
+    eff = render.effective_spp_per_pass(cfg, backend, spp_total, w * h)
     device_fence(render.render_pass(
-        scene, cam, jr.key(0), width=w, height=h, spp=cfg.spp_per_pass,
+        scene, cam, jr.key(0), width=w, height=h, spp=min(eff, spp_total),
         max_depth=cfg.max_depth, integrator=integ, backend=backend))
+    tail = spp_total % eff
+    if tail:
+        device_fence(render.render_pass(
+            scene, cam, jr.key(0), width=w, height=h, spp=tail,
+            max_depth=cfg.max_depth, integrator=integ, backend=backend))
     t0 = time.perf_counter()
     # fallback=False: a silent kernel->XLA degrade mid-run would corrupt
     # the measurement; benchmarks must fail loudly instead

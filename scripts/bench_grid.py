@@ -41,12 +41,13 @@ def main():
             scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
             tile_rows=tile_rows)
 
-    cases = [("sah", {"RTT_NO_SPHERE_GRID": "1"})]
-    cases += [(f"grid_res{r}", {"RTT_GRID_RES": str(r)}) for r in res_list]
+    cases = [("sah", {})]
+    cases += [(f"grid_res{r}", {"RTT_SPHERE_GRID": "1", "RTT_GRID_RES": str(r)})
+              for r in res_list]
 
     ref_mean = None
     for name, env in cases:
-        for k in ("RTT_NO_SPHERE_GRID", "RTT_GRID_RES"):
+        for k in ("RTT_SPHERE_GRID", "RTT_GRID_RES"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.perf_counter()

@@ -111,3 +111,27 @@ def test_sharded_fallback_resumes_from_pass_boundary(small):
     # resumed render == pure-XLA render: pass 1's state was produced by the
     # same (key, offset) stream the XLA loop would use
     np.testing.assert_array_equal(img, ref)
+
+
+def test_effective_spp_per_pass_folding():
+    """Launch folding (BASELINE config 1 economics): kernel backends fold
+    small-image renders into one launch; big images and the XLA backend
+    keep the configured batch."""
+    from rustraytrace_tpu.config import RenderConfig
+    from rustraytrace_tpu.render import effective_spp_per_pass
+
+    cfg = RenderConfig(image_width=400, aspect_ratio=16 / 9,
+                       samples_per_pixel=100, spp_per_pass=16)
+    n1 = 400 * 225
+    # config 1: one launch for the whole render
+    assert effective_spp_per_pass(cfg, "wavefront", 100, n1) == 100
+    # xla keeps the configured batch (remat memory scales with it)
+    assert effective_spp_per_pass(cfg, "xla", 100, n1) == 16
+    # flagship: 64 spp in one launch (52M rays < 64M budget)
+    assert effective_spp_per_pass(cfg, "wavefront", 64, 1200 * 675) == 64
+    # 4K: budget/pixels < base -> the configured minimum batch holds
+    assert effective_spp_per_pass(cfg, "wavefront", 1000, 3840 * 2160) == 16
+    # never exceeds the spp cap
+    big = RenderConfig(image_width=16, samples_per_pixel=100000,
+                       spp_per_pass=16)
+    assert effective_spp_per_pass(big, "wavefront", 100000, 256) == 1024

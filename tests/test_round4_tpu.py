@@ -28,9 +28,9 @@ def _render(scene, cfg, monkeypatch, no_grid: bool):
     from rustraytrace_tpu.ops.pallas_megakernel import render_pass_megakernel
 
     if no_grid:
-        monkeypatch.setenv("RTT_NO_SPHERE_GRID", "1")
+        monkeypatch.delenv("RTT_SPHERE_GRID", raising=False)
     else:
-        monkeypatch.delenv("RTT_NO_SPHERE_GRID", raising=False)
+        monkeypatch.setenv("RTT_SPHERE_GRID", "1")
     cam = derive_camera(cfg)
     return np.asarray(render_pass_megakernel(
         scene, cam, jax.random.key(5), width=cfg.image_width,
@@ -152,8 +152,8 @@ def test_grid_layout_bit_identical_book2_final_wavefront(monkeypatch):
             height=cfg.image_height, spp=4, max_depth=8,
             backend="wavefront"))
 
-    monkeypatch.setenv("RTT_NO_SPHERE_GRID", "1")
+    monkeypatch.delenv("RTT_SPHERE_GRID", raising=False)
     img_sah = go()
-    monkeypatch.delenv("RTT_NO_SPHERE_GRID")
+    monkeypatch.setenv("RTT_SPHERE_GRID", "1")
     img_grid = go()
     np.testing.assert_array_equal(img_sah, img_grid)
