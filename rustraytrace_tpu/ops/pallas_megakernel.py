@@ -190,6 +190,74 @@ def pack_quad_table(scene: Scene) -> jnp.ndarray:
     return tab
 
 
+QUAD_CLUSTER_MIN = 32  # reference scenes carry <= 10 quads: linear scan
+# leaf sweep on a 1024-quad random field (v5e, 400^2@64 d8, camera inside
+# the field — adversarial for the tile cull): linear 9.3 Mpaths/s,
+# leaf 16/32/64 = 9.7/10.3/10.4; 8 regressed to 8.4 (slab+cond overhead
+# of 128 clusters beats the savings).  32 balances cull granularity
+# against per-cluster overhead.
+QUAD_MAX_LEAF = 32
+
+
+def cluster_quad_table(scene: Scene, qtab):
+    """SAH-cluster the quad table once it is big enough to matter.
+
+    The reference BVHs everything including quads
+    (the_next_week/mod.rs:616-621); the kernel scanned them linearly —
+    harmless at the reference's <= 10 quads, but the one primitive class
+    with no acceleration for user scenes.  Quads >= QUAD_CLUSTER_MIN get a
+    SAH treelet cut over their corner AABBs, the table rows are permuted
+    cluster-contiguous, and per-cluster metadata rows are APPENDED to the
+    same table ([lo3, hi3, start, end] in cols 0-7) so the kernel needs no
+    new refs — just the ``n_qclusters`` static.  Padding/masked quads form
+    a trailing cluster with ~f32-max bounds whose slab entry distance can
+    never beat a live best-t.  Below the threshold the table is returned
+    untouched (reference scenes stay bit-identical).
+
+    Returns (qtab', n_quads, n_qclusters): ``n_quads`` counts REAL rows
+    (the appended metadata rows are only ever read by the cull)."""
+    import numpy as np
+
+    n_rows = qtab.shape[0]
+    if "quads" not in scene.features:
+        return qtab, 0, 0
+    mask = np.asarray(scene.quad_mask) > 0
+    if (int(mask.sum()) < QUAD_CLUSTER_MIN
+            or os.environ.get("RTT_NO_QUAD_CLUSTER")):
+        return qtab, n_rows, 0
+    from ..native import build_aabb_clusters
+
+    qt = np.asarray(qtab)
+    act = np.where(mask)[0]
+    pad = np.where(~mask)[0]
+    q = qt[act, Q_QX:Q_QZ + 1]
+    u = qt[act, Q_UX:Q_UZ + 1]
+    v = qt[act, Q_VX:Q_VZ + 1]
+    corners = [q, q + u, q + v, q + u + v]
+    lo = np.minimum.reduce(corners) - 1e-4
+    hi = np.maximum.reduce(corners) + 1e-4
+    order, cl_start, cl_min, cl_max = build_aabb_clusters(
+        lo.astype(np.float32), hi.astype(np.float32),
+        max_leaf=QUAD_MAX_LEAF)
+    perm = np.concatenate([act[np.asarray(order)], pad]).astype(np.int64)
+    starts = np.asarray(cl_start, np.int64).tolist()
+    mins = [cl_min[c] for c in range(cl_min.shape[0])]
+    maxs = [cl_max[c] for c in range(cl_max.shape[0])]
+    if pad.size:
+        starts.append(starts[-1] + int(pad.size))
+        mins.append(np.full(3, 3.2e38, np.float32))
+        maxs.append(np.full(3, 3.3e38, np.float32))
+    n_qc = len(starts) - 1
+    crows = np.zeros((n_qc, Q_COLS), np.float32)
+    for c in range(n_qc):
+        crows[c, 0:3] = mins[c]
+        crows[c, 3:6] = maxs[c]
+        crows[c, 6] = float(starts[c])
+        crows[c, 7] = float(starts[c + 1])
+    out = np.concatenate([qt[perm], crows]).astype(np.float32)
+    return jnp.asarray(out), n_rows, n_qc
+
+
 # box SMEM table columns (axis-aligned box primitives; the slab-test
 # replacement for the reference's make_box six-quad expansion, quad.rs:90-113)
 B_LOX, B_LOY, B_LOZ = 0, 1, 2
@@ -503,7 +571,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  media_kinds: tuple = (), persist: bool = False,
                  persist_iters: int = 0, dma_texels: bool = False,
                  dma_meta: tuple = (), dma_thresh: int = 16,
-                 n_ssc_static: int = 0):
+                 n_ssc_static: int = 0, n_qclusters: int = 0):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -668,7 +736,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
 
             init = (jnp.full(shape, _BIG, _F32),
                     jnp.full(shape, -1, jnp.int32))
-            if use_clusters or n_boxes:
+            if use_clusters or n_boxes or n_qclusters:
                 # sign-safe inverse direction for slab tests (clusters/boxes)
                 sgx = jnp.where(dx < 0.0, -1e-20, 1e-20)
                 sgy = jnp.where(dy < 0.0, -1e-20, 1e-20)
@@ -968,7 +1036,41 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     out = out + tuple(carry[15:19])
                 carry = out
 
-            if n_quads:
+            if n_quads and n_qclusters > 1:
+                # SAH-culled quad scan (cluster_quad_table): metadata rows
+                # [n_quads + ci] of the SAME table carry [lo3, hi3, start,
+                # end]; descend only when any lane hits the box closer
+                # than its best t — the quad analog of make_cull
+                def qcull(ci, qcarry):
+                    bt0 = qcarry[0]
+                    row = n_quads + ci
+                    tx1 = (qtab_ref[row, 0] - ox) * ivx
+                    tx2 = (qtab_ref[row, 3] - ox) * ivx
+                    ty1 = (qtab_ref[row, 1] - oy) * ivy
+                    ty2 = (qtab_ref[row, 4] - oy) * ivy
+                    tz1 = (qtab_ref[row, 2] - oz) * ivz
+                    tz2 = (qtab_ref[row, 5] - oz) * ivz
+                    t1 = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx1, tx2),
+                                    jnp.minimum(ty1, ty2)),
+                        jnp.minimum(tz1, tz2))
+                    t2 = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx1, tx2),
+                                    jnp.maximum(ty1, ty2)),
+                        jnp.maximum(tz1, tz2))
+                    hit_box = (t1 <= t2) & (t2 > T_MIN) & (t1 < bt0)
+                    any_hit = jnp.max(jnp.where(hit_box, 1.0, 0.0)) > 0.0
+                    lo_q = qtab_ref[row, 6].astype(jnp.int32)
+                    hi_q = qtab_ref[row, 7].astype(jnp.int32)
+                    return jax.lax.cond(
+                        any_hit,
+                        lambda c: jax.lax.fori_loop(lo_q, hi_q, qbody, c),
+                        lambda c: c,
+                        qcarry,
+                    )
+
+                carry = jax.lax.fori_loop(0, n_qclusters, qcull, carry)
+            elif n_quads:
                 carry = jax.lax.fori_loop(0, n_quads, qbody, carry)
 
             # constant media: stochastic free-flight through boundary
@@ -1929,7 +2031,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                      "stratified", "sqrt_spp", "n_media", "has_noise",
                      "n_slabs", "n_boxes", "n_bclusters", "b_slabs",
                      "has_image", "interpret", "respawn", "unroll",
-                     "b_unroll", "media_kinds", "n_ssc_static"),
+                     "b_unroll", "media_kinds", "n_ssc_static",
+                     "n_qclusters"),
 )
 def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     batab, ltab, mtab, ptab, vtab, atab,
@@ -1944,7 +2047,8 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                     n_bclusters: int, b_slabs: int, has_image: bool,
                     interpret: bool, respawn: bool = False,
                     unroll: int = 1, b_unroll: int = 1,
-                    media_kinds: tuple = (), n_ssc_static: int = 0):
+                    media_kinds: tuple = (), n_ssc_static: int = 0,
+                    n_qclusters: int = 0):
     if has_image:
         raise ValueError(
             "image textures require the wavefront segment path "
@@ -1967,7 +2071,7 @@ def _megakernel_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                      n_bclusters=n_bclusters, b_slabs=b_slabs,
                      n_sclusters=n_sclusters, unroll=unroll,
                      b_unroll=b_unroll, media_kinds=media_kinds,
-                     n_ssc_static=n_ssc_static),
+                     n_ssc_static=n_ssc_static, n_qclusters=n_qclusters),
         out_shape=(out, out, out),
         grid=grid,
         in_specs=[
@@ -2053,8 +2157,8 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
     rows = (-(-n_slots // tile_r)) * tile_rows
 
     tab = pack_joined_table(scene)
-    qtab = pack_quad_table(scene)
-    n_quads = qtab.shape[0] if "quads" in scene.features else 0
+    qtab, n_quads, n_qclusters = cluster_quad_table(
+        scene, pack_quad_table(scene))
 
     import numpy as np
 
@@ -2320,7 +2424,8 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
                   bclb=bclb, bcls=bcls, batab=batab, ltab=ltab, mtab=mtab,
                   ptab=ptab, vtab=vtab, atab=atab, cam_u=cam_u, bg=bg)
     statics = dict(
-        n_quads=n_quads, n_clusters=n_clusters, n_sclusters=n_sclusters,
+        n_quads=n_quads, n_qclusters=n_qclusters,
+        n_clusters=n_clusters, n_sclusters=n_sclusters,
         n_ssc_static=n_ssc_static,
         n_media=n_media, media_kinds=media_kinds,
         unroll=unroll, b_unroll=b_unroll,
@@ -2367,7 +2472,8 @@ def prepare_megakernel_cached(scene: Scene, cam, **kw):
             bool(os.environ.get("RTT_NO_MOTION_SPLIT")),
             bool(os.environ.get("RTT_SPHERE_GRID")),
             os.environ.get("RTT_GRID_RES"),
-            os.environ.get("RTT_GRID_FILL"))
+            os.environ.get("RTT_GRID_FILL"),
+            bool(os.environ.get("RTT_NO_QUAD_CLUSTER")))
     for ent in _PREP_CACHE:
         if ent[0] is scene and ent[1] is cam and ent[2] == kw_t:
             return ent[3], ent[4]

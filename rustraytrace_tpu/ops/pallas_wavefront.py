@@ -135,7 +135,8 @@ def wavefront_eligible(scene: Scene, integrator: str = "path") -> bool:
     return True
 
 
-SEG_KEYS = ("n_quads", "n_clusters", "n_sclusters", "moving", "sky_bg",
+SEG_KEYS = ("n_quads", "n_qclusters",
+            "n_clusters", "n_sclusters", "moving", "sky_bg",
             "has_checker", "n_media", "media_kinds", "has_noise", "n_slabs",
             "n_boxes", "n_bclusters", "b_slabs", "has_image", "interpret",
             "unroll", "b_unroll", "mis", "n_lights", "n_ssc_static")
@@ -173,7 +174,8 @@ def texel_gate_heuristic(scene: Scene) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_quads", "n_clusters", "n_sclusters", "moving",
+    static_argnames=("n_quads", "n_qclusters",
+                     "n_clusters", "n_sclusters", "moving",
                      "max_depth",
                      "sky_bg", "rows", "tile_rows", "has_checker", "n_media",
                      "media_kinds", "has_noise", "n_slabs", "n_boxes",
@@ -193,7 +195,7 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                        n_bclusters: int, b_slabs: int, has_image: bool,
                        interpret: bool, unroll: int = 1, b_unroll: int = 1,
                        mis: bool = False, n_lights: int = 0,
-                       n_ssc_static: int = 0):
+                       n_ssc_static: int = 0, n_qclusters: int = 0):
     """One bounce for every ray: st [15, rows, 128] -> (st', pending [4,...]).
 
     State rows: 0 tm, 1-3 origin, 4-6 direction, 7-9 attenuation,
@@ -218,7 +220,8 @@ def _wavefront_seg_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         has_noise=has_noise, n_slabs=n_slabs,
         n_boxes=n_boxes, n_bclusters=n_bclusters, b_slabs=b_slabs,
         n_sclusters=n_sclusters, segment=True, has_image=has_image,
-        unroll=unroll, b_unroll=b_unroll, n_ssc_static=n_ssc_static)
+        unroll=unroll, b_unroll=b_unroll, n_ssc_static=n_ssc_static,
+        n_qclusters=n_qclusters)
     return pl.pallas_call(
         kernel,
         out_shape=outs,
@@ -269,7 +272,7 @@ def persist_statics_tuple(statics: dict) -> tuple:
                      "n_lights", "spp", "width", "height", "defocus",
                      "stratified", "sqrt_spp", "persist_iters",
                      "dma_texels", "dma_meta", "dma_thresh",
-                     "n_ssc_static"),
+                     "n_ssc_static", "n_qclusters"),
 )
 def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, img_dma,
@@ -284,7 +287,8 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  width: int, height: int, defocus: bool, stratified: bool,
                  sqrt_spp: int, persist_iters: int = 0,
                  dma_texels: bool = False, dma_meta: tuple = (),
-                 dma_thresh: int = 16, n_ssc_static: int = 0):
+                 dma_thresh: int = 16, n_ssc_static: int = 0,
+                 n_qclusters: int = 0):
     """ONE launch of the persistent respawn+texel-freeze kernel: every lane
     advances through its own samples until it finishes them all or FREEZES
     on an image-texture hit (pend record set).  st [20, rows, 128] ->
@@ -315,7 +319,7 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         unroll=unroll, b_unroll=b_unroll, persist=True,
         persist_iters=persist_iters, dma_texels=dma_texels,
         dma_meta=dma_meta, dma_thresh=dma_thresh,
-        n_ssc_static=n_ssc_static)
+        n_ssc_static=n_ssc_static, n_qclusters=n_qclusters)
     in_specs = [
         smem(*tab.shape),
         smem(qtab.shape[0], Q_COLS),

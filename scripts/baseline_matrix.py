@@ -67,13 +67,26 @@ def run(config: int):
         device_fence(render.render_pass(
             scene, cam, jr.key(0), width=w, height=h, spp=tail,
             max_depth=cfg.max_depth, integrator=integ, backend=backend))
-    t0 = time.perf_counter()
     # fallback=False: a silent kernel->XLA degrade mid-run would corrupt
     # the measurement; benchmarks must fail loudly instead
-    img, state = render.render_image(scene, cfg, integrator=integ,
-                                     backend=backend, fallback=False)
-    device_fence(img)
-    el = time.perf_counter() - t0
+    def run():
+        img, state = render.render_image(scene, cfg, integrator=integ,
+                                         backend=backend, fallback=False)
+        device_fence(img)
+        return img, state
+
+    # steady-state best-of-N: a single cold call folds one-shot jit/dispatch
+    # setup (~0.9 s through the tunnel) into sub-second workloads like
+    # config 1 (0.10 s of math), misreporting the renderer's throughput by
+    # ~10x.  Long configs get 1 timed repeat (their setup share is noise).
+    repeats = 2 if w * h * cfg.samples_per_pixel <= 2e8 else 1
+    img, state = run()  # cold call: finishes warmup (tiny-op jits)
+    el = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        img, state = run()
+        dt = time.perf_counter() - t0
+        el = dt if el is None else min(el, dt)
     spp = state["spp_done"]
     print(json.dumps({
         "config": config, "scene": f"{w}x{h}@{spp}spp d{cfg.max_depth}",

@@ -137,6 +137,37 @@ def test_cornell_mis_no_regression():
     assert abs(m_k - m_x) < 0.01 + 0.03 * m_x, (m_k, m_x)
 
 
+def test_quad_cluster_bit_identical(monkeypatch):
+    """A 96-quad field renders bit-identically with the SAH quad cull on
+    vs the linear scan (cluster_quad_table permutes rows and gates the
+    qbody fori behind slab tests; winners and attributes are unchanged)."""
+    from rustraytrace_tpu.ops.pallas_megakernel import render_pass_megakernel
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_quad_cluster import _quad_field
+
+    scene = _quad_field(96)
+    from rustraytrace_tpu.config import RenderConfig
+
+    cfg = RenderConfig(aspect_ratio=1.0, image_width=64,
+                       samples_per_pixel=4, max_depth=6, vfov=60.0,
+                       lookfrom=(0.0, 0.0, 60.0), lookat=(0.0, 0.0, 0.0),
+                       focus_dist=10.0)
+    cam = derive_camera(cfg)
+
+    def go():
+        return np.asarray(render_pass_megakernel(
+            scene, cam, jax.random.key(6), width=64, height=64, spp=4,
+            max_depth=6, respawn=True))
+
+    monkeypatch.setenv("RTT_NO_QUAD_CLUSTER", "1")
+    img_lin = go()
+    monkeypatch.delenv("RTT_NO_QUAD_CLUSTER")
+    img_cl = go()
+    np.testing.assert_array_equal(img_lin, img_cl)
+
+
 def test_grid_layout_bit_identical_book2_final_wavefront(monkeypatch):
     """book2_final through its real dispatcher (segmented wavefront with
     texel resolve): grid vs SAH layouts stay bit-identical end-to-end."""
