@@ -79,14 +79,16 @@ def make_assemble(mesh) -> "callable":
 
 def render_image_multihost(scene, cfg, *, mesh=None, integrator: str = "path",
                            chunk: int = 65536, progress=None,
-                           accum_state=None):
+                           accum_state=None, on_pass=None):
     """Sharded render + cross-host framebuffer assembly.
 
-    Returns (image_u8, accum_state) on every host (identical content)."""
+    Returns (image_u8, accum_state) on every host (identical content).
+    ``on_pass(state)`` fires at every pass boundary (checkpointing — the
+    resume path after a lost-host job restart, SURVEY.md §5)."""
     if mesh is None:
         mesh = global_mesh()
     return render_image_sharded(
         scene, cfg, mesh=mesh, integrator=integrator, chunk=chunk,
-        progress=progress, accum_state=accum_state,
+        progress=progress, accum_state=accum_state, on_pass=on_pass,
         assemble=make_assemble(mesh),
     )

@@ -5,28 +5,63 @@ ROADMAP.md's backend coverage table and the round-N tuning notes.
 Usage:
     python scripts/bench_scenes.py [case ...]
 
-Cases (default: all):
-    flagship         book1_random_spheres 1200x675 @64spp d50, auto backend
-    flagship_wf      same scene forced through the respawn wavefront path
-    final            book2_final_scene 800x800 @64spp d40 (reference
-                     flagship; round 3: ~8M via the persist texel-freeze
-                     kernel — see ROADMAP.md's ablation for the ceiling)
-    earth            book2_earth 800x450 @64spp d50
-    cornell_mis      book3_cornell_box 600x600 @64spp d50 (MIS megakernel)
-    field10k         sphere_field_10k 1200x675 @64spp d50 (~10k spheres)
+Round-4 change: every case's spp is sized so the timed kernel runs
+MULTI-SECOND.  Sub-second kernels jitter +-50% through the tunnel even
+within one process (dispatch noise dominates; CLAUDE.md), which is how the
+round-3 matrix ended up quoting 2x spans like "37-93 M" — and how two
+tuning knobs got tuned on noise.  Multi-second runs hold +-15%.
 
-Each case prints one JSON line {case, backend, paths_per_s, elapsed_s, shape}.
-Timing: best of 2 after a warmup that absorbs the tunnel's first-execution
-stall; fenced with a device->host copy (jax.block_until_ready does not block
-on this rig — see CLAUDE.md).
+Each case prints one JSON line {case, backend, paths_per_s, elapsed_s,
+shape}.  Timing: best of 2 after a warmup that absorbs the tunnel's
+first-execution stall; fenced with a device->host copy
+(jax.block_until_ready does not block on this rig — see CLAUDE.md).
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# case -> (model, overrides dict, integrator, spp, depth, backend)
+# spp chosen for >= ~2 s at round-4 rates (rate M -> spp ~ 2s * rate / npix)
+CASES = {
+    "flagship": ("book1_random_spheres",
+                 dict(image_width=1200, samples_per_pixel=128, max_depth=50),
+                 "path", 128, 50, "auto"),
+    "flagship_wf": ("book1_random_spheres",
+                    dict(image_width=1200, samples_per_pixel=128,
+                         max_depth=50),
+                    "path", 128, 50, "wavefront"),
+    "final": ("book2_final_scene",
+              dict(image_width=800, samples_per_pixel=64, max_depth=40),
+              "path", 64, 40, "auto"),
+    "earth": ("book2_earth",
+              dict(image_width=800, samples_per_pixel=512, max_depth=50),
+              "path", 512, 50, "auto"),
+    "bouncing": ("book2_bouncing_spheres",
+                 dict(image_width=400, samples_per_pixel=512, max_depth=50),
+                 "path", 512, 50, "auto"),
+    "quads": ("book2_quads",
+              dict(image_width=400, samples_per_pixel=1024, max_depth=10),
+              "path", 1024, 10, "auto"),
+    "cornell": ("book2_cornell_box",
+                dict(image_width=400, samples_per_pixel=1024, max_depth=20),
+                "path", 1024, 20, "auto"),
+    "smoke": ("book2_cornell_smoke",
+              dict(image_width=400, samples_per_pixel=1024, max_depth=50),
+              "path", 1024, 50, "auto"),
+    "perlin": ("book2_perlin_spheres",
+               dict(image_width=400, samples_per_pixel=1024, max_depth=50),
+               "path", 1024, 50, "auto"),
+    "cornell_mis": ("book3_cornell_box",
+                    dict(image_width=600, samples_per_pixel=256,
+                         max_depth=50),
+                    "mis", 256, 50, "auto"),
+    "field10k": ("sphere_field_10k",
+                 dict(image_width=1200, samples_per_pixel=64, max_depth=50),
+                 "path", 64, 50, "auto"),
+}
 
 
 def run_case(name: str) -> dict:
@@ -37,31 +72,8 @@ def run_case(name: str) -> dict:
     from rustraytrace_tpu.config import derive_camera
     from rustraytrace_tpu.render import render_pass, resolve_backend
 
-    if name.startswith("flagship"):
-        scene, cfg, _ = models.book1_random_spheres(
-            dict(image_width=1200, samples_per_pixel=64, max_depth=50))
-        integ, spp, depth = "path", 64, 50
-        backend = "auto"
-        if name == "flagship_wf":
-            backend = "wavefront"
-    elif name == "final":
-        scene, cfg, _ = models.book2_final_scene(
-            dict(image_width=800, samples_per_pixel=64, max_depth=40))
-        integ, spp, depth, backend = "path", 64, 40, "auto"
-    elif name == "earth":
-        scene, cfg, _ = models.book2_earth(
-            dict(image_width=800, samples_per_pixel=64, max_depth=50))
-        integ, spp, depth, backend = "path", 64, 50, "auto"
-    elif name == "field10k":
-        scene, cfg, _ = models.sphere_field_10k(
-            dict(image_width=1200, samples_per_pixel=64, max_depth=50))
-        integ, spp, depth, backend = "path", 64, 50, "auto"
-    elif name == "cornell_mis":
-        scene, cfg, _ = models.book3_cornell_box(
-            dict(image_width=600, samples_per_pixel=64, max_depth=50))
-        integ, spp, depth, backend = "mis", 64, 50, "auto"
-    else:
-        raise SystemExit(f"unknown case {name!r}")
+    model, ov, integ, spp, depth, backend = CASES[name]
+    scene, cfg, _ = getattr(models, model)(ov)
 
     cam = derive_camera(cfg)
     w, h = cfg.image_width, cfg.image_height
@@ -92,8 +104,7 @@ def run_case(name: str) -> dict:
 
 
 def main():
-    cases = sys.argv[1:] or ["flagship", "flagship_wf",
-                             "final", "earth", "cornell_mis", "field10k"]
+    cases = sys.argv[1:] or list(CASES)
     for c in cases:
         run_case(c)
 
