@@ -54,7 +54,11 @@ def main():
     from rustraytrace_tpu.config import derive_camera
     from rustraytrace_tpu.render import render_pass, resolve_backend
 
-    spp = int(os.environ.get("BENCH_SPP", "64"))
+    # 256 spp (round 4; was 64): one ~4.7 s respawn launch — multi-second
+    # runs hold ±15% through the tunnel where ~1 s runs jitter far more
+    # (CLAUDE.md), and the per-launch overhead share drops to noise.  The
+    # metric (paths/s) is spp-invariant, so rounds stay comparable.
+    spp = int(os.environ.get("BENCH_SPP", "256"))
     width = int(os.environ.get("BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("BENCH_DEPTH", "50"))
     chunk = int(os.environ.get("BENCH_CHUNK", "131072"))

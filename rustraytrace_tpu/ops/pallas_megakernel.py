@@ -2142,10 +2142,16 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # unroll routing: turbulence-heavy scenes want 1 (register/VMEM
+    # pressure of the Perlin closures, round 3); so does the MIS kernel
+    # (round-4 multi-second re-sweep, cornell_mis 600^2@1024 d50: unroll
+    # 1 beat 4 at every tile size — 208/212/184 vs 198/206/171 Mpaths/s
+    # at rows 16/32/64 — the NEE/MIS closures already saturate the
+    # instruction budget); everything else wants SPHERE_UNROLL=4.
     if unroll is None:
-        unroll = 1 if noise_dominant(scene) else SPHERE_UNROLL
+        unroll = 1 if (noise_dominant(scene) or mis) else SPHERE_UNROLL
     if b_unroll is None:
-        b_unroll = 1 if noise_dominant(scene) else BOX_UNROLL
+        b_unroll = 1 if (noise_dominant(scene) or mis) else BOX_UNROLL
     sphere_max_leaf = (SPHERE_MAX_LEAF if sphere_max_leaf is None
                        else sphere_max_leaf)
     box_max_leaf = BOX_MAX_LEAF if box_max_leaf is None else box_max_leaf

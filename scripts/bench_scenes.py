@@ -37,27 +37,27 @@ CASES = {
               dict(image_width=800, samples_per_pixel=64, max_depth=40),
               "path", 64, 40, "auto"),
     "earth": ("book2_earth",
-              dict(image_width=800, samples_per_pixel=512, max_depth=50),
-              "path", 512, 50, "auto"),
-    "bouncing": ("book2_bouncing_spheres",
-                 dict(image_width=400, samples_per_pixel=512, max_depth=50),
-                 "path", 512, 50, "auto"),
-    "quads": ("book2_quads",
-              dict(image_width=400, samples_per_pixel=1024, max_depth=10),
-              "path", 1024, 10, "auto"),
-    "cornell": ("book2_cornell_box",
-                dict(image_width=400, samples_per_pixel=1024, max_depth=20),
-                "path", 1024, 20, "auto"),
-    "smoke": ("book2_cornell_smoke",
-              dict(image_width=400, samples_per_pixel=1024, max_depth=50),
+              dict(image_width=800, samples_per_pixel=1024, max_depth=50),
               "path", 1024, 50, "auto"),
+    "bouncing": ("book2_bouncing_spheres",
+                 dict(image_width=400, samples_per_pixel=1024, max_depth=50),
+                 "path", 1024, 50, "auto"),
+    "quads": ("book2_quads",
+              dict(image_width=400, samples_per_pixel=8192, max_depth=10),
+              "path", 8192, 10, "auto"),
+    "cornell": ("book2_cornell_box",
+                dict(image_width=400, samples_per_pixel=4096, max_depth=20),
+                "path", 4096, 20, "auto"),
+    "smoke": ("book2_cornell_smoke",
+              dict(image_width=400, samples_per_pixel=4096, max_depth=50),
+              "path", 4096, 50, "auto"),
     "perlin": ("book2_perlin_spheres",
-               dict(image_width=400, samples_per_pixel=1024, max_depth=50),
-               "path", 1024, 50, "auto"),
+               dict(image_width=400, samples_per_pixel=4096, max_depth=50),
+               "path", 4096, 50, "auto"),
     "cornell_mis": ("book3_cornell_box",
-                    dict(image_width=600, samples_per_pixel=256,
+                    dict(image_width=600, samples_per_pixel=1024,
                          max_depth=50),
-                    "mis", 256, 50, "auto"),
+                    "mis", 1024, 50, "auto"),
     "field10k": ("sphere_field_10k",
                  dict(image_width=1200, samples_per_pixel=64, max_depth=50),
                  "path", 64, 50, "auto"),
