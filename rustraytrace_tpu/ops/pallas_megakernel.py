@@ -69,7 +69,14 @@ RR_P_MAX = 0.95
 # scans).
 SPHERE_UNROLL = 4
 BOX_UNROLL = 4
-SPHERE_MAX_LEAF = 32
+# Round-4 multi-second re-sweep (the round-2 tuning ran sub-second):
+# flagship (489 spheres) leaf 16/32/64 = 43.0/44.1/47.5 Mpaths/s at
+# unroll 4; bouncing 29.1/29.8 and book2_final 8.32/8.46 at 32/64 — 64
+# wins or ties everywhere EXCEPT the 10k-sphere field (10.34/10.04 at
+# 32/64), so very large scenes keep 32 (sphere_leaf_default).
+SPHERE_MAX_LEAF = 64
+SPHERE_MAX_LEAF_BIG = 32
+SPHERE_BIG_N = 4096
 BOX_MAX_LEAF = 32
 
 # joined sphere+material SMEM table columns
@@ -2152,8 +2159,12 @@ def prepare_megakernel(scene: Scene, cam, *, width: int, height: int,
         unroll = 1 if (noise_dominant(scene) or mis) else SPHERE_UNROLL
     if b_unroll is None:
         b_unroll = 1 if (noise_dominant(scene) or mis) else BOX_UNROLL
-    sphere_max_leaf = (SPHERE_MAX_LEAF if sphere_max_leaf is None
-                       else sphere_max_leaf)
+    if sphere_max_leaf is None:
+        # see the SPHERE_MAX_LEAF sweep note: 64 wins/ties up to ~1k
+        # spheres, 32 at 10k (cluster count vs per-cluster work balance)
+        n_act_sph = int(float(jnp.sum(scene.sph_mask)))
+        sphere_max_leaf = (SPHERE_MAX_LEAF_BIG if n_act_sph >= SPHERE_BIG_N
+                           else SPHERE_MAX_LEAF)
     box_max_leaf = BOX_MAX_LEAF if box_max_leaf is None else box_max_leaf
     n_pix = width * height
     tiles_x = -(-width // _BLK)
