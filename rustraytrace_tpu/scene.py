@@ -414,6 +414,13 @@ class SceneBuilder:
                 light_q[i], light_u[i], light_v[i] = lt["q"], lt["u"], lt["v"]
             else:
                 light_center[i], light_radius[i] = lt["center"], lt["radius"]
+        # _light_sample's uniform pick indexes [0, n_active): active lights
+        # MUST occupy the leading slots (integrator.py), which this packing
+        # guarantees by construction — assert it so a future packer that
+        # breaks the invariant fails here, not as a silent sampling bias
+        n_act = int(light_mask.sum())
+        assert (light_mask[:n_act] == 1.0).all() and (
+            light_mask[n_act:] == 0.0).all(), "active lights must lead"
 
         def dev(x, dt=dtype):
             return jnp.asarray(x, dtype=dt)
