@@ -252,8 +252,10 @@ def effective_spp_per_pass(cfg: RenderConfig, backend: str, spp_total: int,
     base = cfg.spp_per_pass
     if backend == "xla":
         return base
-    folded = max(base, _PASS_RAY_TARGET // max(n_pix, 1))
-    return max(1, min(spp_total, folded, _PASS_SPP_CAP))
+    # the cap bounds only the AUTO-raise — an explicit larger
+    # cfg.spp_per_pass is the user's call and is honored
+    raise_to = min(_PASS_RAY_TARGET // max(n_pix, 1), _PASS_SPP_CAP)
+    return max(1, min(spp_total, max(base, raise_to)))
 
 
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",

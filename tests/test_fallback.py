@@ -131,7 +131,11 @@ def test_effective_spp_per_pass_folding():
     assert effective_spp_per_pass(cfg, "wavefront", 64, 1200 * 675) == 64
     # 4K: budget/pixels < base -> the configured minimum batch holds
     assert effective_spp_per_pass(cfg, "wavefront", 1000, 3840 * 2160) == 16
-    # never exceeds the spp cap
+    # the AUTO-raise is capped at 1024...
     big = RenderConfig(image_width=16, samples_per_pixel=100000,
                        spp_per_pass=16)
     assert effective_spp_per_pass(big, "wavefront", 100000, 256) == 1024
+    # ...but an EXPLICIT larger batch is the user's call and is honored
+    explicit = RenderConfig(image_width=16, samples_per_pixel=100000,
+                            spp_per_pass=4096)
+    assert effective_spp_per_pass(explicit, "wavefront", 100000, 256) == 4096

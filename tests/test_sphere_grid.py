@@ -68,8 +68,6 @@ def _closest_hit_culled(o, d, centers, radii, order, cl_start, cl_min,
                          np.where(d < 0, -1e-20, 1e-20), d)
     bt, bi = np.inf, -1
     for c in range(cl_start.shape[0] - 1):
-        t1s = (cl_min - o[None, :]) * inv[None, :]
-        # (recompute per cluster for clarity)
         ta = (cl_min[c] - o) * inv
         tb = (cl_max[c] - o) * inv
         t1 = np.max(np.minimum(ta, tb))
