@@ -24,6 +24,18 @@ import os
 import sys
 
 import jax
+
+# Default to CPU: the differentiable path is a large scan/remat program the
+# axon tunnel's remote TPU compiler dies on (SIGILL in tpu_compile_helper,
+# observed round 4), and config 4's recovery gate is platform-independent.
+# Pass --device tpu to opt back in on a healthy TPU toolchain.
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+else:
+    _dev = "cpu"
+if _dev != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +67,8 @@ def main():
                     help="Orbax train-state checkpoint directory; pass with "
                          "--resume to continue a killed run")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--device", default="cpu", choices=("cpu", "tpu"),
+                    help="cpu (default; see module note) or tpu")
     args = ap.parse_args()
 
     true_albedo = (0.75, 0.25, 0.15)
