@@ -75,3 +75,34 @@ def test_rr_preserves_mean():
     shallow = np.asarray(render_pass(scene, cam, jax.random.key(7), spp=64,
                                      max_depth=6, **kw)) / 64
     assert abs(deep.mean() - shallow.mean()) / shallow.mean() < 0.03
+
+
+def test_volumetric_mis_unbiased_vs_plain_path():
+    """Round 4: the MIS estimator WITH media (isotropic scatter lanes drawn
+    from the NEE mixture) must estimate the same integral as the plain path
+    estimator on the same smoke-Cornell scene — a distribution-level pin of
+    the volumetric MIS weights (wrong 1/4π handling would shift the mean by
+    ~2x, far outside the MC tolerance here)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_round4_tpu import _smoke_mis_scene
+
+    import jax
+    import numpy as np
+
+    from rustraytrace_tpu.config import derive_camera
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg = _smoke_mis_scene()
+    cam = derive_camera(cfg.replace(image_width=48))
+    spp = 96
+    kw = dict(width=48, height=48, spp=spp, max_depth=10, backend="xla")
+    mis = np.asarray(render_pass(scene, cam, jax.random.key(2),
+                                 integrator="mis", **kw)) / spp
+    pth = np.asarray(render_pass(scene, cam, jax.random.key(5),
+                                 integrator="path", **kw)) / spp
+    m_m, m_p = float(mis.mean()), float(pth.mean())
+    assert np.isfinite(mis).all() and m_m > 0.01
+    assert abs(m_m - m_p) < 0.08 * m_p, (m_m, m_p)
