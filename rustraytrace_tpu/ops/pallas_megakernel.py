@@ -681,12 +681,22 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # per-lane pixel coordinates: ray slots are swizzled into 32x32
             # screen blocks so a program's rays share a narrow primary
             # frustum (what makes tile-level cluster culling bite); the host
-            # unswizzles the output with one gather
-            gid = (
-                pl.program_id(0) * (tile_rows * TILE_LANES)
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * TILE_LANES
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-            )
+            # unswizzles the output with one gather.
+            # PERSIST mode (round 4) reads each lane's SLOT from state row
+            # 20 instead of deriving it from the grid position: the driver
+            # may PERMUTE lanes between launches (spatial ray sorting /
+            # dead-lane compaction), so a lane's pixel identity must travel
+            # with its state.  Unsorted, row 20 holds the identity mapping
+            # and the arithmetic below is bit-identical to the grid form.
+            if persist:
+                gid = st_ref[20].astype(jnp.int32)
+            else:
+                gid = (
+                    pl.program_id(0) * (tile_rows * TILE_LANES)
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    * TILE_LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                )
             blk = gid // (_BLK * _BLK)
             within = gid % (_BLK * _BLK)
             pxi = (blk % tiles_x) * _BLK + within % _BLK
@@ -1849,11 +1859,13 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # spawn work (scripts/ablate_final.py, v5e) even though only
             # 1 of ~1800 primitives is image-textured.
             #
-            # HBM state rows [20]: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad,
+            # HBM state rows [21]: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad,
             # 13 alive, 14 bounce, 15 done, 16-18 banked sums, 19 mid
-            # (sample in progress / radiance unbanked).  pend rows [4] are
-            # OUTPUT-only: the driver resolves and clears them, so a launch
-            # always enters unfrozen.
+            # (sample in progress / radiance unbanked), 20 SLOT id (the
+            # lane's pixel identity — the driver may permute lanes between
+            # launches; round 4).  pend rows [4] are OUTPUT-only: the
+            # driver resolves and clears them, so a launch always enters
+            # unfrozen.
             # ``persist_iters`` > 0 bounds the in-kernel loop to K bounces
             # per launch: for image-SPARSE scenes (book2_final: 1 earth
             # globe among ~1800 primitives) the unlimited loop serializes on
@@ -1870,20 +1882,33 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             off = jnp.asarray(seed_ref[1], _F32)
 
             def pcond(c):
-                alive_, done_, mid_, pf_ = c[14], c[15], c[19], c[23]
+                done_, mid_ = c[15], c[19]
                 work = (mid_ > 0.0) | (done_ < float(spp))
-                ok = jnp.max(
-                    jnp.where((pf_ == 0.0) & work, 1.0, 0.0)) > 0.0
+                if has_image:
+                    work = (c[23] == 0.0) & work  # frozen lanes can't run
+                ok = jnp.max(jnp.where(work, 1.0, 0.0)) > 0.0
                 if persist_iters:
-                    ok = ok & (c[24] < persist_iters)
+                    ok = ok & (c[-1] < persist_iters)
                 return ok
 
             def pbody(c):
                 (b, tm2, ox2, oy2, oz2, dx2, dy2, dz2, ax2, ay2, az2,
-                 rx2, ry2, rz2, alive, done, sx, sy, sz, mid,
-                 pa, pb, pc_, pf) = c[:24]
-                frozen = pf != 0.0
-                unfrozen = ~frozen
+                 rx2, ry2, rz2, alive, done, sx, sy, sz, mid) = c[:20]
+                if has_image:
+                    pa, pb, pc_, pf = c[20:24]
+                    frozen = pf != 0.0
+                    unfrozen = ~frozen
+
+                    def mg(n, o_):
+                        return jnp.where(unfrozen, n, o_)
+                else:
+                    # no image textures -> no freeze protocol: every lane
+                    # is always unfrozen and the pend carry is elided
+                    unfrozen = True
+
+                    def mg(n, o_):
+                        return n
+
                 # 1) bank dead unbanked paths (incl. lanes whose emission
                 #    pend the driver just resolved into rad)
                 fin = (mid > 0.0) & (alive <= 0.0) & unfrozen
@@ -1913,26 +1938,26 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                                    ax2, ay2, az2, rx2, ry2, rz2, alive))
                 alive_n = jnp.where(out[0] < float(max_depth), out[14], 0.0)
 
-                def mg(n, o_):
-                    return jnp.where(unfrozen, n, o_)
-
                 nxt = (mg(out[0], b), mg(out[1], tm2),
                        mg(out[2], ox2), mg(out[3], oy2), mg(out[4], oz2),
                        mg(out[5], dx2), mg(out[6], dy2), mg(out[7], dz2),
                        mg(out[8], ax2), mg(out[9], ay2), mg(out[10], az2),
                        mg(out[11], rx2), mg(out[12], ry2), mg(out[13], rz2),
-                       mg(alive_n, alive), done, sx, sy, sz, mid,
-                       mg(out[15], pa), mg(out[16], pb), mg(out[17], pc_),
-                       mg(out[18], pf))
+                       mg(alive_n, alive), done, sx, sy, sz, mid)
+                if has_image:
+                    nxt = nxt + (mg(out[15], pa), mg(out[16], pb),
+                                 mg(out[17], pc_), mg(out[18], pf))
                 if persist_iters:
-                    nxt = nxt + (c[24] + 1,)
+                    nxt = nxt + (c[-1] + 1,)
                 return nxt
 
             init = (st_ref[14], st_ref[0], st_ref[1], st_ref[2], st_ref[3],
                     st_ref[4], st_ref[5], st_ref[6], st_ref[7], st_ref[8],
                     st_ref[9], st_ref[10], st_ref[11], st_ref[12],
                     st_ref[13], st_ref[15], st_ref[16], st_ref[17],
-                    st_ref[18], st_ref[19], zeros, zeros, zeros, zeros)
+                    st_ref[18], st_ref[19])
+            if has_image:
+                init = init + (zeros, zeros, zeros, zeros)
             if persist_iters:
                 init = init + (jnp.asarray(0, jnp.int32),)
             final = jax.lax.while_loop(pcond, pbody, init)
@@ -1943,8 +1968,14 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             sto_ref[13] = final[14]
             for k in range(5):
                 sto_ref[k + 15] = final[k + 15]
-            for k in range(4):
-                pend_ref[k] = final[k + 20]
+            # the SLOT row rides along unchanged: lane identity is only
+            # ever rewritten by the DRIVER (between-launch permutation)
+            sto_ref[20] = st_ref[20]
+            if has_image:
+                for k in range(4):
+                    pend_ref[k] = final[k + 20]
+            else:
+                pend_ref[:] = jnp.zeros((4,) + shape, _F32)
             return
 
         if respawn:

@@ -85,6 +85,21 @@ _GOLDEN = -1640531527  # 0x9E3779B9 as i32 — the reference's per-pass seed
 # so resolving texels every few bounces keeps whole tiles marching.
 PERSIST_SPARSE_ITERS = 4
 PERSIST_DENSE_ITERS = 8
+# With between-launch ray sorting the optimum moves UP (coherence persists
+# through a longer launch): book2_final rows32 sorted at iters 4/8/12/16 =
+# 8.96/9.51/8.96/8.31 Mpaths/s vs 8.33 unsorted-i4 (scripts/sweep_sort.py)
+PERSIST_SORT_ITERS = 8
+# NON-image scenes (has_image=False: freeze protocol compiled out, pend
+# carry elided) want a still-longer bound — no frozen lanes ever stall a
+# launch — and the optimum tracks the per-lane TOTAL work (~spp x mean
+# path length): v5e sweeps vs respawn (scripts/bench_persist_plain.py +
+# follow-ups): flagship (spp 128) 47.6 -> 54.6 at iters 32; field10k
+# (spp 64) 10.3 -> 11.8 at 16 (flat through 32); bouncing (spp 1024)
+# 30.4 -> 43.4 rising through 48/64/96/128.  iters ~ spp/4 hits each
+# scene's plateau; the floor keeps launch counts sane at tiny spp and the
+# cap bounds while-loop trip-count compilation.
+def persist_plain_iters(spp: int) -> int:
+    return max(16, min(spp // 4, 128))
 
 # In-kernel serial texel DMA for image-SPARSE scenes: tile-bounces with
 # <= DMA_THRESH image winners resolve them in-kernel (polynomial sphere UV +
@@ -170,6 +185,24 @@ def texel_gate_heuristic(scene: Scene) -> bool:
         n_img += int(np.sum((np.asarray(mask) > 0)
                             & img_mat[np.asarray(mats)]))
     return active_primitive_count(scene) > 8 * max(n_img, 1)
+
+
+def ray_sort_heuristic(scene: Scene) -> bool:
+    """Static choice for between-launch ray sorting in the persist driver
+    (see _persist_sort_perm).  The sort only pays for itself when tiles
+    lose coherence AND re-coherent tiles actually cull work — i.e. on
+    primitive-heavy scenes where the ANY-LANE cluster cull is the
+    bottleneck (book2_final's 1006-sphere cloud: 8.0 -> 9.5 Mpaths/s at
+    the shared iters=8 bound, +19%; scripts/sweep_sort.py, v5e).  Tiny
+    scenes (earth: one globe) have nothing to cull, so the argsort+gather
+    per launch is pure tax.  Env override: RTT_SORT_RAYS=1 forces on,
+    =0 forces off."""
+    import os
+
+    env = os.environ.get("RTT_SORT_RAYS")
+    if env is not None:
+        return env not in ("0", "")
+    return active_primitive_count(scene) >= 256
 
 
 @functools.partial(
@@ -291,14 +324,18 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  n_qclusters: int = 0):
     """ONE launch of the persistent respawn+texel-freeze kernel: every lane
     advances through its own samples until it finishes them all or FREEZES
-    on an image-texture hit (pend record set).  st [20, rows, 128] ->
+    on an image-texture hit (pend record set).  st [21, rows, 128] ->
     (st', pend [4, rows, 128]); see the kernel's persist branch for the
-    state-row layout."""
-    if not has_image:
-        raise ValueError("persist mode is the image-texture path; "
-                         "non-image scenes use respawn mode")
+    state-row layout (row 20 = SLOT id: the lane's pixel identity, which
+    travels with the lane so the driver may permute lanes between
+    launches — spatial ray sorting / dead-lane compaction).
+
+    ``has_image=False`` (round 4): the freeze protocol compiles out (every
+    lane is permanently unfrozen, the pend carry is elided) and the launch
+    is a plain bounded respawn step — the execution mode that lets
+    NON-image scenes ride between-launch ray sorting."""
     grid = (rows // tile_rows,)
-    st_spec = pl.BlockSpec((20, tile_rows, TILE_LANES), lambda i: (0, i, 0),
+    st_spec = pl.BlockSpec((21, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     pend_spec = pl.BlockSpec((4, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
@@ -306,7 +343,7 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                                      memory_space=pltpu.SMEM)
     vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
-    outs = (jax.ShapeDtypeStruct((20, rows, TILE_LANES), _F32),
+    outs = (jax.ShapeDtypeStruct((21, rows, TILE_LANES), _F32),
             jax.ShapeDtypeStruct((4, rows, TILE_LANES), _F32))
     kernel = _make_kernel(
         tab.shape[1], n_quads, n_clusters, moving, max_depth, sky_bg,
@@ -388,11 +425,77 @@ def _resolve_texels(scene: Scene, atten, rad, pend):
     return atten * mul, rad + add
 
 
+def _morton8(q):
+    """Spread each lane's 8-bit int to every 3rd bit (Morton interleave
+    component).  Standard magic-mask spread; int32-safe for q < 1024."""
+    q = (q | (q << 16)) & 0x030000FF
+    q = (q | (q << 8)) & 0x0300F00F
+    q = (q | (q << 4)) & 0x030C30C3
+    q = (q | (q << 2)) & 0x09249249
+    return q
+
+
+def _persist_sort_perm(st, spp, R, key_mode: str = "pos_oct"):
+    """Between-launch lane permutation for the persist kernel (round 4).
+
+    The persist tiles lose screen coherence after a few bounces — lanes
+    scatter across the scene, the ANY-LANE cluster cull admits ~every
+    cluster, and dense-cloud scenes (book2_final) pay the whole cloud per
+    tile-bounce.  Both round-3/4 ablations (per-lane descent; grid
+    binning) pinned the ceiling on TILE COHERENCE, which no traversal or
+    representation change can restore — but the driver can: every launch
+    boundary it re-sorts the HBM-resident lane state so each tile holds
+    spatially-adjacent rays again.  Key (int32, ascending):
+
+    * mid-sample lanes: 24-bit Morton code of the ray origin (256^3 cells
+      over the live lanes' bounding box) + 3-bit direction octant — tiles
+      get a tight frustum for the cluster cull AND slab-local winners for
+      the windowed attribute fetch;
+    * idle lanes with samples left: 2<<28 + slot — respawns stay
+      pixel-coherent (the swizzled slot order IS screen-tile order);
+    * finished lanes: 3<<28 — they pool into all-done tiles whose kernel
+      while_loop exits immediately (dead-lane compaction for free).
+
+    Ties (same cell+octant) keep slot order via stable argsort, so the
+    permutation is deterministic."""
+    mid = st[19].reshape(R)
+    done = st[15].reshape(R)
+    slot = st[20].reshape(R).astype(jnp.int32)
+    ox, oy, oz = (st[k].reshape(R) for k in (1, 2, 3))
+    dx, dy, dz = (st[k].reshape(R) for k in (4, 5, 6))
+    act = mid > 0.0
+    big = jnp.float32(3e38)
+
+    def qaxis(v):
+        mn = jnp.min(jnp.where(act, v, big))
+        mx = jnp.max(jnp.where(act, v, -big))
+        scale = 255.999 / jnp.maximum(mx - mn, jnp.float32(1e-20))
+        return jnp.clip((v - mn) * scale, 0.0, 255.0).astype(jnp.int32)
+
+    morton = (_morton8(qaxis(ox)) | (_morton8(qaxis(oy)) << 1)
+              | (_morton8(qaxis(oz)) << 2))
+    octant = ((dx > 0).astype(jnp.int32) + 2 * (dy > 0).astype(jnp.int32)
+              + 4 * (dz > 0).astype(jnp.int32))
+    if key_mode == "pos_oct":       # cell-major, direction octant minor
+        key_mid = (morton << 3) | octant  # < 2**27
+    elif key_mode == "oct_major":   # direction-major: tight frusta first
+        key_mid = (octant << 24) | morton  # < 2**27
+    elif key_mode == "pos_only":
+        key_mid = morton  # < 2**24
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sort key_mode {key_mode!r}")
+    finished = ~act & (done >= float(spp))
+    key = jnp.where(act, key_mid,
+                    jnp.where(finished, jnp.int32(3 << 28),
+                              jnp.int32(2 << 28) + slot))
+    return jnp.argsort(key, stable=True)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "statics",
                      "gate_texels", "persist_iters", "dma_texels",
-                     "dma_thresh"),
+                     "dma_thresh", "sort_rays", "sort_key"),
 )
 def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             *, spp: int, max_depth: int, rows: int,
@@ -400,16 +503,24 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             gate_texels: bool = True,
                             persist_iters: int = 0,
                             dma_texels: bool = False,
-                            dma_thresh: int = 16):
+                            dma_thresh: int = 16,
+                            sort_rays: bool = False,
+                            sort_key: str = "pos_oct"):
     """Image-scene render pass via the PERSIST kernel: whole samples run
     in-kernel (camera respawn included); a launch returns only when every
     lane has finished its ``spp`` samples or sits FROZEN on an image-texture
     hit, and the driver resolves the frozen lanes' texels between launches.
     Launch count ~ max per-lane image-hit count (1 + hits), NOT
     spp x E[path length] — the per-bounce segment tax is gone for every
-    lane that isn't looking at the globe.  Returns [R, 3] radiance sums."""
+    lane that isn't looking at the globe.  Returns [R, 3] radiance sums.
+
+    ``sort_rays``: permute the lane state by spatial key at every launch
+    boundary (see _persist_sort_perm) — the tile-coherence lever for
+    dense-cloud scenes.  Lane pixel identity travels in state row 20, and
+    the final banked sums are scattered back to slot order."""
     stat = dict(statics)
     R = rows * TILE_LANES
+    assert R < (1 << 24), "slot ids must stay f32-exact"
     seg_args = (arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
                 arrays["sclb"], arrays["scls"],
                 arrays["btab"], arrays["bclb"], arrays["bcls"],
@@ -420,6 +531,11 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
     seed_base = jax.random.key_data(
         jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
     st0 = jnp.zeros((20, rows, TILE_LANES), _F32)
+    # row 20: slot ids, identity-initialized — matches the grid-iota pixel
+    # mapping bit-for-bit until a sort permutes it
+    st0 = jnp.concatenate(
+        [st0, jnp.arange(R, dtype=jnp.int32).astype(_F32).reshape(
+            1, rows, TILE_LANES)], axis=0)
     max_launches = spp * max_depth + 2  # 1 freeze/bounce worst case
 
     def cond(c):
@@ -437,7 +553,6 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
             *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
             max_depth=max_depth, persist_iters=persist_iters,
             dma_texels=dma_texels, dma_thresh=dma_thresh, **stat)
-        flag = pend[3]
 
         def _resolve(st2_):
             atten, rad = _resolve_texels(scene, st2_[7:10], st2_[10:13],
@@ -445,16 +560,32 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
             st2_ = st2_.at[7:10].set(atten)
             return st2_.at[10:13].set(rad)
 
-        if gate_texels:
+        if not stat["has_image"]:
+            pass  # no freeze protocol: pend is structurally zero
+        elif gate_texels:
+            flag = pend[3]
             st2 = jax.lax.cond(jnp.max(jnp.abs(flag)) > 0.0,
                                _resolve, lambda s: s, st2)
         else:
             st2 = _resolve(st2)
+        if sort_rays:
+            # pend is already resolved into the state, so permuting here
+            # cannot orphan a frozen lane's texel record
+            perm = _persist_sort_perm(st2, spp, R, sort_key)
+            st2 = st2.reshape(21, R)[:, perm].reshape(
+                21, rows, TILE_LANES)
         return g + 1, st2
 
     _, st = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), st0))
-    return st[16:19].reshape(3, R).T  # [R, 3] banked radiance sums
+    sums = st[16:19].reshape(3, R)
+    if sort_rays:
+        # lanes are permuted: scatter each lane's banked sums back to its
+        # slot (row 20 is a bijection over [0, R))
+        slot = st[20].reshape(R).astype(jnp.int32)
+        sums = jnp.zeros((3, R), _F32).at[:, slot].set(
+            sums, unique_indices=True)
+    return sums.T  # [R, 3] banked radiance sums
 
 
 def _slot_pixels(width: int, height: int, tile_rows: int):
@@ -666,8 +797,38 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if "image" not in scene.features:
-        from .pallas_megakernel import render_pass_megakernel, respawn_tile_rows
+        from .pallas_megakernel import (prepare_megakernel_cached,
+                                        render_pass_megakernel,
+                                        respawn_tile_rows)
 
+        if (not interpret and not per_bounce_segments
+                and ray_sort_heuristic(scene)):
+            # RAY-SORTED PERSIST (round 4): the persist kernel with
+            # has_image=False is a bounded in-kernel respawn step with
+            # cross-launch HBM lane state, which lets the driver re-sort
+            # lanes spatially every launch — the tile-coherence lever the
+            # round-3/4 ablations pinned as the only one left for
+            # primitive-heavy scenes (respawn vs this, v5e: flagship 47.6
+            # vs 49.9, field10k 10.3 vs 11.8, bouncing 30.4 vs 36.3
+            # Mpaths/s; scripts/bench_persist_plain.py)
+            tr = (tile_rows if tile_rows is not None
+                  else respawn_tile_rows(scene, mis=mis))
+            arrays, statics = prepare_megakernel_cached(
+                scene, cam, width=width, height=height, spp=spp,
+                max_depth=max_depth, tile_rows=tr, interpret=False,
+                segment=True, mis=mis, stratified=stratified,
+                sqrt_spp=sqrt_spp, unroll=unroll, b_unroll=b_unroll,
+                sphere_max_leaf=sphere_max_leaf,
+                box_max_leaf=box_max_leaf)
+            key = jax.random.fold_in(key, 0x5EED)
+            accum = _wavefront_pass_persist(
+                scene, arrays, key, jnp.asarray(sample_offset, jnp.int32),
+                spp=spp, max_depth=max_depth, rows=statics["rows"],
+                tile_rows=tr, statics=persist_statics_tuple(statics),
+                gate_texels=False,
+                persist_iters=persist_plain_iters(spp), sort_rays=True)
+            return accum[_unswizzle_index(width, height)].reshape(
+                height, width, 3)
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,
@@ -695,15 +856,17 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         # texel lanes never serialize whole tiles (earth 78.2 Mpaths/s vs
         # 39.2 segmented; final 7.3 vs 5.6 — see PERSIST_*_ITERS sweep)
         gate = texel_gate_heuristic(scene)
+        sort = ray_sort_heuristic(scene)
         accum = _wavefront_pass_persist(
             scene, arrays, key, jnp.asarray(sample_offset, jnp.int32),
             spp=spp, max_depth=max_depth, rows=statics["rows"],
             tile_rows=tile_rows, statics=persist_statics_tuple(statics),
             gate_texels=gate,
-            persist_iters=(PERSIST_SPARSE_ITERS if gate
+            persist_iters=(PERSIST_SORT_ITERS if sort
+                           else PERSIST_SPARSE_ITERS if gate
                            else PERSIST_DENSE_ITERS),
             dma_texels=gate and DMA_TEXELS_SPARSE,
-            dma_thresh=DMA_THRESH)
+            dma_thresh=DMA_THRESH, sort_rays=sort)
         return accum[_unswizzle_index(width, height)].reshape(
             height, width, 3)
     if mis:

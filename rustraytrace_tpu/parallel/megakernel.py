@@ -245,26 +245,33 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     resolve.
     """
     from ..ops.pallas_megakernel import (_unswizzle_index,
-                                         prepare_megakernel_cached)
+                                         prepare_megakernel_cached,
+                                         respawn_tile_rows)
     from ..ops.pallas_wavefront import (DMA_TEXELS_SPARSE, DMA_THRESH,
                                         PERSIST_DENSE_ITERS,
+                                        PERSIST_SORT_ITERS,
                                         PERSIST_SPARSE_ITERS,
                                         _wavefront_pass_persist,
+                                        persist_plain_iters,
                                         persist_statics_tuple,
+                                        ray_sort_heuristic,
                                         texel_gate_heuristic,
                                         wavefront_tile_rows)
 
-    if "image" not in scene.features:
+    has_image = "image" in scene.features
+    sort_rays = ray_sort_heuristic(scene)
+    if not has_image and not sort_rays:
         return render_pass_megakernel_sharded(
             scene, cfg_cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, mesh=mesh, mis=mis,
             stratified=stratified, sqrt_spp=sqrt_spp,
             sample_offset=sample_offset, respawn=True)
 
-    gate_texels = texel_gate_heuristic(scene)
+    gate_texels = has_image and texel_gate_heuristic(scene)
     n = int(mesh.devices.size)
     spp_local = -(-spp // n)
-    tile_rows = wavefront_tile_rows(scene)
+    tile_rows = (wavefront_tile_rows(scene) if has_image
+                 else respawn_tile_rows(scene, mis=mis))
     arrays, statics = prepare_megakernel_cached(
         scene, cfg_cam, width=width, height=height, spp=spp_local,
         max_depth=max_depth, tile_rows=tile_rows, interpret=False,
@@ -273,7 +280,9 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
     key = jax.random.fold_in(key, 0x5EED)  # match render_pass_wavefront
     offsets = sample_offset + jnp.arange(n, dtype=jnp.int32) * spp_local
     rows = statics["rows"]
-    persist_iters = (PERSIST_SPARSE_ITERS if gate_texels
+    persist_iters = (persist_plain_iters(spp_local) if not has_image
+                     else PERSIST_SORT_ITERS if sort_rays
+                     else PERSIST_SPARSE_ITERS if gate_texels
                      else PERSIST_DENSE_ITERS)
 
     def build():
@@ -287,12 +296,12 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                 tile_rows=tile_rows, statics=p_statics,
                 gate_texels=gate_texels, persist_iters=persist_iters,
                 dma_texels=gate_texels and DMA_TEXELS_SPARSE,
-                dma_thresh=DMA_THRESH)
+                dma_thresh=DMA_THRESH, sort_rays=sort_rays)
             return acc[unswz].reshape(height, width, 3)
 
         return _make_wiring(pass_fn, mesh, jit=True)
 
     fn = _cached_sharded_fn(
         ("wf", p_statics, mesh, spp_local, max_depth, rows, tile_rows,
-         gate_texels, persist_iters, width, height), build)
+         gate_texels, persist_iters, sort_rays, width, height), build)
     return fn((scene, arrays), key, offsets)

@@ -188,3 +188,51 @@ def test_grid_layout_bit_identical_book2_final_wavefront(monkeypatch):
     monkeypatch.setenv("RTT_SPHERE_GRID", "1")
     img_grid = go()
     np.testing.assert_array_equal(img_sah, img_grid)
+
+
+def test_ray_sorted_persist_matches_unsorted_mean(monkeypatch):
+    """Between-launch ray sorting (round 4): the persist kernel with
+    sort_rays=True must agree with the unsorted estimator statistically.
+    Sorting only re-maps lanes to tiles (slot identity travels in state
+    row 20), so per-slot sample counts are exactly spp either way; the
+    PRNG pairing differs, hence a mean comparison, not bit-equality."""
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg, _ = models.book2_final_scene(
+        dict(image_width=96, samples_per_pixel=32, max_depth=6))
+    cam = derive_camera(cfg)
+    w, h, spp = 96, 96, 32
+
+    def go(sort: str):
+        monkeypatch.setenv("RTT_SORT_RAYS", sort)
+        return np.asarray(render_pass(
+            scene, cam, jax.random.key(9), width=w, height=h, spp=spp,
+            max_depth=6, backend="wavefront")) / spp
+
+    img_u = go("0")
+    img_s = go("1")
+    assert np.all(np.isfinite(img_s))
+    m_u, m_s = img_u.mean(), img_s.mean()
+    assert abs(m_s - m_u) < 0.01 + 0.03 * m_u, (m_s, m_u)
+
+
+def test_plain_scene_ray_sorted_persist_matches_xla_mean():
+    """Non-image scenes with enough primitives route to the RAY-SORTED
+    persist kernel under backend='wavefront' (round 4); pin the estimator
+    against the XLA mean through the real dispatcher."""
+    from rustraytrace_tpu.ops.pallas_wavefront import ray_sort_heuristic
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg, _ = models.book1_random_spheres(dict(image_width=96))
+    assert ray_sort_heuristic(scene)  # 489 spheres -> sorted persist
+    cam = derive_camera(cfg)
+    w, h, spp = 96, 54, 64
+    kw = dict(width=w, height=h, spp=spp, max_depth=8,
+              integrator="path", chunk=w * h, stratified=False)
+    img_p = np.asarray(render_pass(scene, cam, jax.random.key(3),
+                                   backend="wavefront", **kw)) / spp
+    img_x = np.asarray(render_pass(scene, cam, jax.random.key(4),
+                                   backend="xla", **kw)) / spp
+    assert np.all(np.isfinite(img_p))
+    m_p, m_x = img_p.mean(), img_x.mean()
+    assert abs(m_p - m_x) < 0.01 + 0.02 * m_x, (m_p, m_x)
