@@ -187,7 +187,19 @@ def texel_gate_heuristic(scene: Scene) -> bool:
     return active_primitive_count(scene) > 8 * max(n_img, 1)
 
 
-def ray_sort_heuristic(scene: Scene) -> bool:
+# Sorting pays a per-launch argsort+permute whose cost grows
+# super-linearly while the launch's path work only grows linearly in lane
+# count — AND huge images get tiny per-pass spp from the ray-budget pass
+# folding, so each launch carries less work to amortize against.
+# Measured (v5e): sort+permute of 21-row state = 17 ms at 856k lanes
+# (flagship 1200x675; nets +15%), 75 ms at 2.1M, 276 ms at 8.4M lanes —
+# where BASELINE config 5 (4K flagship, 7 spp/pass) regressed 58 -> 21
+# Mpaths/s.  Above the cap the dispatcher keeps the round-4 defaults
+# (respawn megakernel / unsorted persist).
+RAY_SORT_MAX_LANES = 1 << 21
+
+
+def ray_sort_heuristic(scene: Scene, n_lanes: int = 0) -> bool:
     """Static choice for between-launch ray sorting in the persist driver
     (see _persist_sort_perm).  The sort only pays for itself when tiles
     lose coherence AND re-coherent tiles actually cull work — i.e. on
@@ -195,14 +207,26 @@ def ray_sort_heuristic(scene: Scene) -> bool:
     bottleneck (book2_final's 1006-sphere cloud: 8.0 -> 9.5 Mpaths/s at
     the shared iters=8 bound, +19%; scripts/sweep_sort.py, v5e).  Tiny
     scenes (earth: one globe) have nothing to cull, so the argsort+gather
-    per launch is pure tax.  Env override: RTT_SORT_RAYS=1 forces on,
-    =0 forces off."""
+    per launch is pure tax — and so are very LARGE framebuffers
+    (``n_lanes`` > RAY_SORT_MAX_LANES, see above).  Env override:
+    RTT_SORT_RAYS=1 forces on, =0 forces off."""
     import os
 
     env = os.environ.get("RTT_SORT_RAYS")
     if env is not None:
         return env not in ("0", "")
+    if n_lanes > RAY_SORT_MAX_LANES:
+        return False
     return active_primitive_count(scene) >= 256
+
+
+def slot_lane_count(width: int, height: int) -> int:
+    """Lanes of the swizzled slot space for an H x W framebuffer (the R the
+    persist state holds; rows are further padded to tile_rows multiples,
+    which never crosses a RAY_SORT_MAX_LANES power-of-two boundary)."""
+    tiles_x = -(-width // _BLK)
+    tiles_y = -(-height // _BLK)
+    return tiles_x * tiles_y * _BLK * _BLK
 
 
 @functools.partial(
@@ -802,7 +826,8 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                                         respawn_tile_rows)
 
         if (not interpret and not per_bounce_segments
-                and ray_sort_heuristic(scene)):
+                and ray_sort_heuristic(scene,
+                                       slot_lane_count(width, height))):
             # RAY-SORTED PERSIST (round 4): the persist kernel with
             # has_image=False is a bounded in-kernel respawn step with
             # cross-launch HBM lane state, which lets the driver re-sort
@@ -856,7 +881,7 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
         # texel lanes never serialize whole tiles (earth 78.2 Mpaths/s vs
         # 39.2 segmented; final 7.3 vs 5.6 — see PERSIST_*_ITERS sweep)
         gate = texel_gate_heuristic(scene)
-        sort = ray_sort_heuristic(scene)
+        sort = ray_sort_heuristic(scene, slot_lane_count(width, height))
         accum = _wavefront_pass_persist(
             scene, arrays, key, jnp.asarray(sample_offset, jnp.int32),
             spp=spp, max_depth=max_depth, rows=statics["rows"],

@@ -255,11 +255,12 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                         persist_plain_iters,
                                         persist_statics_tuple,
                                         ray_sort_heuristic,
+                                        slot_lane_count,
                                         texel_gate_heuristic,
                                         wavefront_tile_rows)
 
     has_image = "image" in scene.features
-    sort_rays = ray_sort_heuristic(scene)
+    sort_rays = ray_sort_heuristic(scene, slot_lane_count(width, height))
     if not has_image and not sort_rays:
         return render_pass_megakernel_sharded(
             scene, cfg_cam, key, width=width, height=height, spp=spp,

@@ -89,6 +89,8 @@ def test_morton8_spread_bits():
 
 def test_ray_sort_heuristic_env_override(monkeypatch):
     from rustraytrace_tpu import models
+    from rustraytrace_tpu.ops.pallas_wavefront import (RAY_SORT_MAX_LANES,
+                                                       slot_lane_count)
 
     scene, _, _ = models.book2_earth()
     monkeypatch.setenv("RTT_SORT_RAYS", "1")
@@ -100,3 +102,10 @@ def test_ray_sort_heuristic_env_override(monkeypatch):
     assert not ray_sort_heuristic(scene)
     scene_f, _, _ = models.book2_final_scene()
     assert ray_sort_heuristic(scene_f)
+    # huge framebuffers opt out: the per-launch argsort grows super-linearly
+    # while per-pass work shrinks (BASELINE config 5 regressed 58 -> 21
+    # Mpaths/s before the cap)
+    assert slot_lane_count(1200, 675) < RAY_SORT_MAX_LANES
+    assert ray_sort_heuristic(scene_f, slot_lane_count(1200, 675))
+    assert slot_lane_count(3840, 2160) > RAY_SORT_MAX_LANES
+    assert not ray_sort_heuristic(scene_f, slot_lane_count(3840, 2160))

@@ -236,3 +236,30 @@ def test_plain_scene_ray_sorted_persist_matches_xla_mean():
     assert np.all(np.isfinite(img_p))
     m_p, m_x = img_p.mean(), img_x.mean()
     assert abs(m_p - m_x) < 0.01 + 0.02 * m_x, (m_p, m_x)
+
+
+def test_sharded_plain_persist_matches_single_chip_mean():
+    """The spp-sharded wavefront dispatcher routes non-image scenes with
+    >= 256 primitives to the RAY-SORTED persist kernel too (round 4);
+    1-chip mesh vs single-chip render must agree statistically."""
+    from jax.sharding import Mesh
+
+    from rustraytrace_tpu.parallel.megakernel import (
+        render_pass_wavefront_sharded)
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg, _ = models.book1_random_spheres(dict(image_width=96))
+    cfg_cam = derive_camera(cfg)
+    w, h, spp = 96, 54, 64
+    mesh = Mesh(np.array(jax.devices("tpu")[:1]).reshape(1, 1),
+                ("px", "spp"))
+    img_s = np.asarray(render_pass_wavefront_sharded(
+        scene, cfg_cam, jax.random.key(5), width=w, height=h, spp=spp,
+        max_depth=8, mesh=mesh)) / spp
+    img_1 = np.asarray(render_pass(
+        scene, cfg_cam, jax.random.key(6), width=w, height=h, spp=spp,
+        max_depth=8, integrator="path", chunk=w * h,
+        backend="wavefront")) / spp
+    assert np.all(np.isfinite(img_s))
+    m_s, m_1 = img_s.mean(), img_1.mean()
+    assert abs(m_s - m_1) < 0.01 + 0.02 * m_1, (m_s, m_1)
