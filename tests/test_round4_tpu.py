@@ -263,3 +263,27 @@ def test_sharded_plain_persist_matches_single_chip_mean():
     assert np.all(np.isfinite(img_s))
     m_s, m_1 = img_s.mean(), img_1.mean()
     assert abs(m_s - m_1) < 0.01 + 0.02 * m_1, (m_s, m_1)
+
+
+def test_forced_sort_media_scene_matches_unsorted_mean(monkeypatch):
+    """RTT_SORT_RAYS=1 forces sorting on scenes the heuristic skips;
+    media + quads (cornell_smoke) must stay statistically identical —
+    pins that the permutation carries every state row a medium/quad
+    bounce depends on."""
+    from rustraytrace_tpu.render import render_pass
+
+    scene, cfg, _ = models.book2_cornell_smoke(dict(image_width=96))
+    cam = derive_camera(cfg)
+    w, h, spp = 96, 96, 64
+
+    def go(sort: str):
+        monkeypatch.setenv("RTT_SORT_RAYS", sort)
+        return np.asarray(render_pass(
+            scene, cam, jax.random.key(11), width=w, height=h, spp=spp,
+            max_depth=10, backend="wavefront")) / spp
+
+    img_u = go("0")
+    img_s = go("1")
+    assert np.all(np.isfinite(img_s))
+    m_u, m_s = img_u.mean(), img_s.mean()
+    assert abs(m_s - m_u) < 0.01 + 0.03 * m_u, (m_s, m_u)
