@@ -98,11 +98,24 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     if backend == "megakernel":
         from .ops.pallas_megakernel import (render_pass_megakernel,
                                             respawn_tile_rows)
+        from .ops.pallas_wavefront import (ray_sort_heuristic,
+                                           render_pass_wavefront,
+                                           slot_lane_count)
 
+        mis = integrator == "mis"
+        if (jax.default_backend() == "tpu" and "image" not in scene.features
+                and ray_sort_heuristic(scene,
+                                       slot_lane_count(width, height))):
+            # primitive-heavy MIS scenes take the ray-sorted persist loop
+            # too (render_pass_wavefront's non-image branch compiles the
+            # in-kernel NEE/MIS closures; same routing as 'path')
+            return render_pass_wavefront(
+                scene, cam, key, width=width, height=height, spp=spp,
+                max_depth=max_depth, sample_offset=sample_offset,
+                stratified=stratified, sqrt_spp=sqrt_spp, mis=mis)
         # respawn=True: the persistent-respawn variant beat the monolithic
         # bounce loop on every measured scene, MIS included (cornell_mis
         # 27.6 vs 17.1 Mpaths/s — scripts/bench_backends.py, v5e)
-        mis = integrator == "mis"
         return render_pass_megakernel(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, sample_offset=sample_offset,

@@ -287,3 +287,53 @@ def test_forced_sort_media_scene_matches_unsorted_mean(monkeypatch):
     assert np.all(np.isfinite(img_s))
     m_u, m_s = img_u.mean(), img_s.mean()
     assert abs(m_s - m_u) < 0.01 + 0.03 * m_u, (m_s, m_u)
+
+
+def test_big_mis_scene_routes_sorted_persist_and_matches_xla():
+    """Non-image MIS scenes with >=256 primitives route through the
+    ray-sorted persist loop (render.py 'megakernel' branch, round 4);
+    validate the estimator against the XLA mean on a synthetic
+    300-sphere Cornell variant (no reference scene is both MIS and
+    primitive-heavy)."""
+    from rustraytrace_tpu.config import RenderConfig
+    from rustraytrace_tpu.ops.pallas_megakernel import (
+        megakernel_mis_eligible)
+    from rustraytrace_tpu.ops.pallas_wavefront import ray_sort_heuristic
+    from rustraytrace_tpu.render import render_pass
+    from rustraytrace_tpu.scene import SceneBuilder
+
+    rng = np.random.default_rng(21)
+    b = SceneBuilder()
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    red = b.lambertian((0.65, 0.05, 0.05))
+    light = b.diffuse_light((15.0, 15.0, 15.0))
+    b.add_quad((555, 0, 0), (0, 555, 0), (0, 0, 555), green)
+    b.add_quad((0, 0, 0), (0, 555, 0), (0, 0, 555), red)
+    b.add_quad((343, 554, 332), (-130, 0, 0), (0, 0, -105), light)
+    b.add_light_quad((343, 554, 332), (-130, 0, 0), (0, 0, -105))
+    b.add_quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+    b.add_quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white)
+    b.add_quad((0, 0, 555), (555, 0, 0), (0, 555, 0), white)
+    for c in rng.uniform(60, 500, (300, 3)):
+        b.add_sphere(tuple(float(v) for v in c), 12.0, white)
+    scene = b.build()
+    assert megakernel_mis_eligible(scene)
+    assert ray_sort_heuristic(scene)
+
+    cfg = RenderConfig(aspect_ratio=1.0, image_width=96,
+                       samples_per_pixel=64, max_depth=8, vfov=40.0,
+                       lookfrom=(278.0, 278.0, -800.0),
+                       lookat=(278.0, 278.0, 0.0), focus_dist=10.0,
+                       background=(0.0, 0.0, 0.0))
+    cam = derive_camera(cfg)
+    w, h, spp = 96, 96, 64
+    kw = dict(width=w, height=h, spp=spp, max_depth=8, integrator="mis",
+              chunk=w * h, stratified=False)
+    img_m = np.asarray(render_pass(scene, cam, jax.random.key(7),
+                                   backend="megakernel", **kw)) / spp
+    img_x = np.asarray(render_pass(scene, cam, jax.random.key(8),
+                                   backend="xla", **kw)) / spp
+    assert np.all(np.isfinite(img_m))
+    m_m, m_x = img_m.mean(), img_x.mean()
+    assert abs(m_m - m_x) < 0.01 + 0.03 * m_x, (m_m, m_x)
