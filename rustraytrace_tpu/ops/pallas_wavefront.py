@@ -604,11 +604,13 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
         cond, body, (jnp.asarray(0, jnp.int32), st0))
     sums = st[16:19].reshape(3, R)
     if sort_rays:
-        # lanes are permuted: scatter each lane's banked sums back to its
-        # slot (row 20 is a bijection over [0, R))
+        # lanes are permuted: restore slot order via the INVERSE
+        # permutation as an argsort+gather — row 20 is a bijection over
+        # [0, R), so argsort(slot) is exactly its inverse, and a TPU
+        # gather is far cheaper than the equivalent scatter (v5e at 8.4M
+        # lanes: 125 ms vs 690 ms)
         slot = st[20].reshape(R).astype(jnp.int32)
-        sums = jnp.zeros((3, R), _F32).at[:, slot].set(
-            sums, unique_indices=True)
+        sums = sums[:, jnp.argsort(slot, stable=True)]
     return sums.T  # [R, 3] banked radiance sums
 
 
