@@ -252,6 +252,7 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
 # at one launch and leaves 4K @ 1000 spp on its configured batch.
 _PASS_RAY_TARGET = 64 * 1024 * 1024
 _PASS_SPP_CAP = 1024
+_PASS_SPP_FLOOR = 32  # see effective_spp_per_pass: dead-lane tail at 4K
 
 
 def effective_spp_per_pass(cfg: RenderConfig, backend: str, spp_total: int,
@@ -266,9 +267,15 @@ def effective_spp_per_pass(cfg: RenderConfig, backend: str, spp_total: int,
     if backend == "xla":
         return base
     # the cap bounds only the AUTO-raise — an explicit larger
-    # cfg.spp_per_pass is the user's call and is honored
+    # cfg.spp_per_pass is the user's call and is honored.
+    # FLOOR (round 4): huge framebuffers hit the ray budget below the
+    # default 16-spp batch; a warm-timed 4K A/B (walls at per-pass
+    # 16/32/64 = 32.7/32.2/31.5 s) shows pass size is nearly flat there,
+    # so the floor buys only ~2-4% plus fewer pass boundaries — kept
+    # because it is free and a 4K pass at 32 spp (~5 s) is still a fine
+    # checkpoint grain.
     raise_to = min(_PASS_RAY_TARGET // max(n_pix, 1), _PASS_SPP_CAP)
-    return max(1, min(spp_total, max(base, raise_to)))
+    return max(1, min(spp_total, max(base, raise_to, _PASS_SPP_FLOOR)))
 
 
 def render_image(scene: Scene, cfg: RenderConfig, *, integrator: str = "path",

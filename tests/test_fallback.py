@@ -129,8 +129,10 @@ def test_effective_spp_per_pass_folding():
     assert effective_spp_per_pass(cfg, "xla", 100, n1) == 16
     # flagship: 64 spp in one launch (52M rays < 64M budget)
     assert effective_spp_per_pass(cfg, "wavefront", 64, 1200 * 675) == 64
-    # 4K: budget/pixels < base -> the configured minimum batch holds
-    assert effective_spp_per_pass(cfg, "wavefront", 1000, 3840 * 2160) == 16
+    # 4K: the ray budget alone would give 7 spp/pass; the round-4 floor
+    # lifts it to 32 (warm-timed A/B is ~flat in pass size there — the
+    # floor buys a few percent and fewer pass boundaries)
+    assert effective_spp_per_pass(cfg, "wavefront", 1000, 3840 * 2160) == 32
     # the AUTO-raise is capped at 1024...
     big = RenderConfig(image_width=16, samples_per_pixel=100000,
                        spp_per_pass=16)
