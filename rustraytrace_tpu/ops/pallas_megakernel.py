@@ -578,7 +578,8 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  media_kinds: tuple = (), persist: bool = False,
                  persist_iters: int = 0, dma_texels: bool = False,
                  dma_meta: tuple = (), dma_thresh: int = 16,
-                 n_ssc_static: int = 0, n_qclusters: int = 0):
+                 n_ssc_static: int = 0, n_qclusters: int = 0,
+                 sorted_lanes: bool = False):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -682,13 +683,15 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # screen blocks so a program's rays share a narrow primary
             # frustum (what makes tile-level cluster culling bite); the host
             # unswizzles the output with one gather.
-            # PERSIST mode (round 4) reads each lane's SLOT from state row
-            # 20 instead of deriving it from the grid position: the driver
-            # may PERMUTE lanes between launches (spatial ray sorting /
-            # dead-lane compaction), so a lane's pixel identity must travel
-            # with its state.  Unsorted, row 20 holds the identity mapping
-            # and the arithmetic below is bit-identical to the grid form.
-            if persist:
+            # SORTED persist mode (round 4) reads each lane's SLOT from
+            # state row 20 instead of deriving it from the grid position:
+            # the driver PERMUTES lanes between launches (spatial ray
+            # sorting / dead-lane compaction), so a lane's pixel identity
+            # must travel with its state.  Unsorted persist keeps the
+            # 20-row state and the free iota arithmetic (and, because f32
+            # slot ids are only exact below 2^24, it also has no lane-count
+            # ceiling).
+            if persist and sorted_lanes:
                 gid = st_ref[20].astype(jnp.int32)
             else:
                 gid = (
@@ -1859,12 +1862,13 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             # spawn work (scripts/ablate_final.py, v5e) even though only
             # 1 of ~1800 primitives is image-textured.
             #
-            # HBM state rows [21]: 0 tm, 1-3 o, 4-6 d, 7-9 atten, 10-12 rad,
-            # 13 alive, 14 bounce, 15 done, 16-18 banked sums, 19 mid
-            # (sample in progress / radiance unbanked), 20 SLOT id (the
-            # lane's pixel identity — the driver may permute lanes between
-            # launches; round 4).  pend rows [4] are OUTPUT-only: the
-            # driver resolves and clears them, so a launch always enters
+            # HBM state rows [20 (+1 when sorted_lanes)]: 0 tm, 1-3 o,
+            # 4-6 d, 7-9 atten, 10-12 rad, 13 alive, 14 bounce, 15 done,
+            # 16-18 banked sums, 19 mid (sample in progress / radiance
+            # unbanked), 20 SLOT id (sorted_lanes only: the lane's pixel
+            # identity — the driver permutes lanes between launches;
+            # round 4).  pend rows [4] are OUTPUT-only: the driver
+            # resolves and clears them, so a launch always enters
             # unfrozen.
             # ``persist_iters`` > 0 bounds the in-kernel loop to K bounces
             # per launch: for image-SPARSE scenes (book2_final: 1 earth
@@ -1968,9 +1972,11 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
             sto_ref[13] = final[14]
             for k in range(5):
                 sto_ref[k + 15] = final[k + 15]
-            # the SLOT row rides along unchanged: lane identity is only
-            # ever rewritten by the DRIVER (between-launch permutation)
-            sto_ref[20] = st_ref[20]
+            if sorted_lanes:
+                # the SLOT row rides along unchanged: lane identity is
+                # only ever rewritten by the DRIVER (between-launch
+                # permutation)
+                sto_ref[20] = st_ref[20]
             if has_image:
                 for k in range(4):
                     pend_ref[k] = final[k + 20]

@@ -329,7 +329,7 @@ def persist_statics_tuple(statics: dict) -> tuple:
                      "n_lights", "spp", "width", "height", "defocus",
                      "stratified", "sqrt_spp", "persist_iters",
                      "dma_texels", "dma_meta", "dma_thresh",
-                     "n_ssc_static", "n_qclusters"),
+                     "n_ssc_static", "n_qclusters", "sorted_lanes"),
 )
 def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, img_dma,
@@ -345,29 +345,32 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  sqrt_spp: int, persist_iters: int = 0,
                  dma_texels: bool = False, dma_meta: tuple = (),
                  dma_thresh: int = 16, n_ssc_static: int = 0,
-                 n_qclusters: int = 0):
+                 n_qclusters: int = 0, sorted_lanes: bool = False):
     """ONE launch of the persistent respawn+texel-freeze kernel: every lane
     advances through its own samples until it finishes them all or FREEZES
-    on an image-texture hit (pend record set).  st [21, rows, 128] ->
-    (st', pend [4, rows, 128]); see the kernel's persist branch for the
-    state-row layout (row 20 = SLOT id: the lane's pixel identity, which
-    travels with the lane so the driver may permute lanes between
-    launches — spatial ray sorting / dead-lane compaction).
+    on an image-texture hit (pend record set).  st [20 (+1 when
+    ``sorted_lanes``), rows, 128] -> (st', pend [4, rows, 128]); see the
+    kernel's persist branch for the state-row layout (row 20 = SLOT id,
+    sorted_lanes only: the lane's pixel identity, which travels with the
+    lane so the driver may permute lanes between launches — spatial ray
+    sorting / dead-lane compaction; unsorted persist keeps the 20-row
+    layout, the free iota pixel mapping, and no lane-count ceiling).
 
     ``has_image=False`` (round 4): the freeze protocol compiles out (every
     lane is permanently unfrozen, the pend carry is elided) and the launch
     is a plain bounded respawn step — the execution mode that lets
     NON-image scenes ride between-launch ray sorting."""
     grid = (rows // tile_rows,)
-    st_spec = pl.BlockSpec((21, tile_rows, TILE_LANES), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
+    n_st = 21 if sorted_lanes else 20
+    st_spec = pl.BlockSpec((n_st, tile_rows, TILE_LANES),
+                           lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     pend_spec = pl.BlockSpec((4, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     smem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.SMEM)
     vmem = lambda *shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
-    outs = (jax.ShapeDtypeStruct((21, rows, TILE_LANES), _F32),
+    outs = (jax.ShapeDtypeStruct((n_st, rows, TILE_LANES), _F32),
             jax.ShapeDtypeStruct((4, rows, TILE_LANES), _F32))
     kernel = _make_kernel(
         tab.shape[1], n_quads, n_clusters, moving, max_depth, sky_bg,
@@ -380,7 +383,8 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         unroll=unroll, b_unroll=b_unroll, persist=True,
         persist_iters=persist_iters, dma_texels=dma_texels,
         dma_meta=dma_meta, dma_thresh=dma_thresh,
-        n_ssc_static=n_ssc_static, n_qclusters=n_qclusters)
+        n_ssc_static=n_ssc_static, n_qclusters=n_qclusters,
+        sorted_lanes=sorted_lanes)
     in_specs = [
         smem(*tab.shape),
         smem(qtab.shape[0], Q_COLS),
@@ -544,7 +548,11 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
     the final banked sums are scattered back to slot order."""
     stat = dict(statics)
     R = rows * TILE_LANES
-    assert R < (1 << 24), "slot ids must stay f32-exact"
+    if sort_rays:
+        # f32 slot ids are exact below 2^24; ray_sort_heuristic's lane cap
+        # (RAY_SORT_MAX_LANES = 2^21) keeps real routing far under this —
+        # the assert only guards direct callers forcing sort_rays
+        assert R < (1 << 24), "sorted persist needs f32-exact slot ids"
     seg_args = (arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
                 arrays["sclb"], arrays["scls"],
                 arrays["btab"], arrays["bclb"], arrays["bcls"],
@@ -555,11 +563,12 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
     seed_base = jax.random.key_data(
         jax.random.fold_in(key, 0x0B0B)).astype(jnp.int32).reshape(-1)[0]
     st0 = jnp.zeros((20, rows, TILE_LANES), _F32)
-    # row 20: slot ids, identity-initialized — matches the grid-iota pixel
-    # mapping bit-for-bit until a sort permutes it
-    st0 = jnp.concatenate(
-        [st0, jnp.arange(R, dtype=jnp.int32).astype(_F32).reshape(
-            1, rows, TILE_LANES)], axis=0)
+    if sort_rays:
+        # row 20: slot ids, identity-initialized — matches the grid-iota
+        # pixel mapping bit-for-bit until a sort permutes it
+        st0 = jnp.concatenate(
+            [st0, jnp.arange(R, dtype=jnp.int32).astype(_F32).reshape(
+                1, rows, TILE_LANES)], axis=0)
     max_launches = spp * max_depth + 2  # 1 freeze/bounce worst case
 
     def cond(c):
@@ -576,7 +585,8 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
         st2, pend = _persist_raw(
             *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
             max_depth=max_depth, persist_iters=persist_iters,
-            dma_texels=dma_texels, dma_thresh=dma_thresh, **stat)
+            dma_texels=dma_texels, dma_thresh=dma_thresh,
+            sorted_lanes=sort_rays, **stat)
 
         def _resolve(st2_):
             atten, rad = _resolve_texels(scene, st2_[7:10], st2_[10:13],

@@ -184,9 +184,19 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
     per_pass = -(-effective_spp_per_pass(cfg, backend, spp_total, h * w)
                  // n) * n
 
+    # primitive-heavy non-image MIS scenes take the ray-sorted persist
+    # dispatcher even under the 'megakernel' backend label — the same
+    # rerouting as the single-chip render_pass (render.py), so multi-chip
+    # runs the same kernel per device as 1-chip for the same scene
+    from ..ops.pallas_wavefront import ray_sort_heuristic, slot_lane_count
+
+    use_wf = backend == "wavefront" or (
+        "image" not in scene.features
+        and ray_sort_heuristic(scene, slot_lane_count(w, h)))
+
     while done < spp_total:
         this = min(per_pass, spp_traced_mesh(spp_total - done, mesh))
-        if backend == "wavefront":
+        if use_wf:
             acc_pass = render_pass_wavefront_sharded(
                 scene, cam, key, width=w, height=h, spp=this,
                 max_depth=cfg.max_depth, mesh=mesh,
