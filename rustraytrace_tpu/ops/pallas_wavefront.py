@@ -229,6 +229,18 @@ def slot_lane_count(width: int, height: int) -> int:
     return tiles_x * tiles_y * _BLK * _BLK
 
 
+def sorted_persist_route(scene: Scene, width: int, height: int) -> bool:
+    """THE routing predicate for 'non-image scene takes the RAY-SORTED
+    persist loop instead of the respawn megakernel' — one definition shared
+    by every dispatcher (single-chip render_pass_wavefront and the
+    render.py 'megakernel' branch; sharded render_pass_wavefront_sharded
+    and the sharded pass loop), so single-chip and multi-chip routing
+    cannot drift apart for the same scene.  Callers still add their own
+    EXECUTION gates (TPU platform, not-interpret, per_bounce_segments)."""
+    return ("image" not in scene.features
+            and ray_sort_heuristic(scene, slot_lane_count(width, height)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_quads", "n_qclusters",
@@ -550,8 +562,11 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
     R = rows * TILE_LANES
     if sort_rays:
         # f32 slot ids are exact below 2^24; ray_sort_heuristic's lane cap
-        # (RAY_SORT_MAX_LANES = 2^21) keeps real routing far under this —
-        # the assert only guards direct callers forcing sort_rays
+        # (RAY_SORT_MAX_LANES = 2^21) keeps heuristic routing far under
+        # this, but RTT_SORT_RAYS=1 bypasses the cap and direct callers
+        # can force sort_rays — either reaches this assert on >=16.7M-lane
+        # framebuffers (~8K), where render_image's fallback then degrades
+        # the render to XLA
         assert R < (1 << 24), "sorted persist needs f32-exact slot ids"
     seg_args = (arrays["tab"], arrays["qtab"], arrays["clb"], arrays["cls"],
                 arrays["sclb"], arrays["scls"],
@@ -838,8 +853,7 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                                         respawn_tile_rows)
 
         if (not interpret and not per_bounce_segments
-                and ray_sort_heuristic(scene,
-                                       slot_lane_count(width, height))):
+                and sorted_persist_route(scene, width, height)):
             # RAY-SORTED PERSIST (round 4): the persist kernel with
             # has_image=False is a bounded in-kernel respawn step with
             # cross-launch HBM lane state, which lets the driver re-sort

@@ -188,11 +188,9 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
     # dispatcher even under the 'megakernel' backend label — the same
     # rerouting as the single-chip render_pass (render.py), so multi-chip
     # runs the same kernel per device as 1-chip for the same scene
-    from ..ops.pallas_wavefront import ray_sort_heuristic, slot_lane_count
+    from ..ops.pallas_wavefront import sorted_persist_route
 
-    use_wf = backend == "wavefront" or (
-        "image" not in scene.features
-        and ray_sort_heuristic(scene, slot_lane_count(w, h)))
+    use_wf = backend == "wavefront" or sorted_persist_route(scene, w, h)
 
     while done < spp_total:
         this = min(per_pass, spp_traced_mesh(spp_total - done, mesh))

@@ -98,14 +98,12 @@ def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,
     if backend == "megakernel":
         from .ops.pallas_megakernel import (render_pass_megakernel,
                                             respawn_tile_rows)
-        from .ops.pallas_wavefront import (ray_sort_heuristic,
-                                           render_pass_wavefront,
-                                           slot_lane_count)
+        from .ops.pallas_wavefront import (render_pass_wavefront,
+                                           sorted_persist_route)
 
         mis = integrator == "mis"
-        if (jax.default_backend() == "tpu" and "image" not in scene.features
-                and ray_sort_heuristic(scene,
-                                       slot_lane_count(width, height))):
+        if (jax.default_backend() == "tpu"
+                and sorted_persist_route(scene, width, height)):
             # primitive-heavy MIS scenes take the ray-sorted persist loop
             # too (render_pass_wavefront's non-image branch compiles the
             # in-kernel NEE/MIS closures; same routing as 'path')

@@ -337,3 +337,57 @@ def test_big_mis_scene_routes_sorted_persist_and_matches_xla():
     assert np.all(np.isfinite(img_m))
     m_m, m_x = img_m.mean(), img_x.mean()
     assert abs(m_m - m_x) < 0.01 + 0.03 * m_x, (m_m, m_x)
+
+
+def test_sharded_mis_reroutes_to_sorted_persist_and_matches_mean():
+    """The sharded pass loop reroutes primitive-heavy non-image MIS scenes
+    to the ray-sorted persist dispatcher even under the 'megakernel'
+    backend label (code-review fix) — pin it end-to-end on a 1-chip mesh
+    against the single-chip mean (CLAUDE.md: estimator semantics must
+    stay identical across backends)."""
+    from jax.sharding import Mesh
+
+    from rustraytrace_tpu.config import RenderConfig
+    from rustraytrace_tpu.ops.pallas_wavefront import sorted_persist_route
+    from rustraytrace_tpu.parallel.megakernel import (
+        render_image_sharded_megakernel)
+    from rustraytrace_tpu.render import render_pass
+    from rustraytrace_tpu.scene import SceneBuilder
+
+    rng = np.random.default_rng(21)
+    b = SceneBuilder()
+    white = b.lambertian((0.73, 0.73, 0.73))
+    light = b.diffuse_light((15.0, 15.0, 15.0))
+    b.add_quad((555, 0, 0), (0, 555, 0), (0, 0, 555),
+               b.lambertian((0.12, 0.45, 0.15)))
+    b.add_quad((0, 0, 0), (0, 555, 0), (0, 0, 555),
+               b.lambertian((0.65, 0.05, 0.05)))
+    b.add_quad((343, 554, 332), (-130, 0, 0), (0, 0, -105), light)
+    b.add_light_quad((343, 554, 332), (-130, 0, 0), (0, 0, -105))
+    b.add_quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+    b.add_quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white)
+    b.add_quad((0, 0, 555), (555, 0, 0), (0, 555, 0), white)
+    for c in rng.uniform(60, 500, (300, 3)):
+        b.add_sphere(tuple(float(v) for v in c), 12.0, white)
+    scene = b.build()
+    w, h, spp = 96, 96, 64
+    assert sorted_persist_route(scene, w, h)
+
+    cfg = RenderConfig(aspect_ratio=1.0, image_width=w,
+                       samples_per_pixel=spp, max_depth=8, vfov=40.0,
+                       lookfrom=(278.0, 278.0, -800.0),
+                       lookat=(278.0, 278.0, 0.0), focus_dist=10.0,
+                       background=(0.0, 0.0, 0.0))
+    mesh = Mesh(np.array(jax.devices("tpu")[:1]).reshape(1, 1),
+                ("px", "spp"))
+    img_s, st = render_image_sharded_megakernel(
+        scene, cfg, mesh=mesh, integrator="mis", backend="megakernel")
+    assert st["spp_done"] == spp
+    acc_1 = np.asarray(render_pass(
+        scene, derive_camera(cfg), jax.random.key(3), width=w, height=h,
+        spp=spp, max_depth=8, integrator="mis", chunk=w * h,
+        backend="megakernel")) / spp
+    m_s = np.asarray(st["accum"]).mean() / spp
+    m_1 = acc_1.mean()
+    assert np.isfinite(m_s)
+    assert abs(m_s - m_1) < 0.01 + 0.03 * m_1, (m_s, m_1)
