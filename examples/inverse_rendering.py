@@ -29,11 +29,18 @@ import jax
 # axon tunnel's remote TPU compiler dies on (SIGILL in tpu_compile_helper,
 # observed round 4), and config 4's recovery gate is platform-independent.
 # Pass --device tpu to opt back in on a healthy TPU toolchain.
-if "--device" in sys.argv:
-    _dev = sys.argv[sys.argv.index("--device") + 1]
-else:
-    _dev = "cpu"
-if _dev != "tpu":
+def _device_arg(argv):
+    """Pre-argparse scan for --device: handles '--device tpu', '--device=tpu'
+    and a missing value (argparse reports that later) — ADVICE r4."""
+    for i, tok in enumerate(argv):
+        if tok == "--device" and i + 1 < len(argv):
+            return argv[i + 1]
+        if tok.startswith("--device="):
+            return tok.split("=", 1)[1]
+    return "cpu"
+
+
+if _device_arg(sys.argv) != "tpu":
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

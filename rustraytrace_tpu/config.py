@@ -51,7 +51,13 @@ class RenderConfig:
 
     # --- TPU execution knobs (not in the reference's config) ---
     # Samples per device pass; plays the role of gpu/mod.rs:11 SPP_PER_PASS.
-    spp_per_pass: int = 16
+    # 0 (the default) = AUTO: 16 on the XLA backend; kernel backends fold
+    # samples into fewer launches up to a ray budget (the ~200 ms/dispatch
+    # tunnel cost dominates small renders — render.effective_spp_per_pass).
+    # An EXPLICIT value is honored exactly in both directions on every
+    # backend (small values buy finer checkpoint/progress grain at more
+    # launch overhead; ADVICE r4).
+    spp_per_pass: int = 0
     # Use stratified sqrt(spp) x sqrt(spp) sub-pixel sampling (book 3,
     # src/books/the_rest_of_your_life/camera.rs:114-116,173-177).
     stratified: bool = False

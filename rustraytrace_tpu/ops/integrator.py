@@ -246,14 +246,18 @@ def trace_mis(key: jax.Array, o, d, time, scene: Scene, background,
     R = o.shape[0]
     dt = o.dtype
     nm = n_media(scene)
-    ND = 9 + nm  # u1,u2,u_diel,u_rr,u_choice,u_pick,ul1,ul2,u_mat2 + media
+    # u1,u2,u_diel,u_rr,u_choice,u_pick,ul1,ul2 + one per medium.  (Round 4
+    # declared a 9th "u_mat2" column that nothing consumed — one wasted
+    # threefry draw per ray*bounce; dropped round 5 and the cornell_mis
+    # golden regenerated for the shifted media columns.)
+    ND = 8 + nm
 
     def step(carry, bounce):
         o, d, time, atten, radiance, alive = carry
         kb = jax.random.fold_in(key, bounce)
         draws = rng.uniforms(kb, (R,), ND)
 
-        rec = closest_hit(o, d, time, scene, draws[:, 9:])
+        rec = closest_hit(o, d, time, scene, draws[:, 8:])
 
         # miss -> flat background (camera.rs:189-191)
         bg = _background(d, background, opts.bg_mode)

@@ -214,7 +214,11 @@ def ray_sort_heuristic(scene: Scene, n_lanes: int = 0) -> bool:
 
     env = os.environ.get("RTT_SORT_RAYS")
     if env is not None:
-        return env not in ("0", "")
+        # the f32-exactness ceiling (2^24 slot ids, see the assert in
+        # _wavefront_pass_persist) is a CORRECTNESS bound, not a perf knob:
+        # honoring a forced RTT_SORT_RAYS=1 past it would assert and degrade
+        # the whole render to XLA through the fallback (ADVICE r4)
+        return env not in ("0", "") and n_lanes < (1 << 24)
     if n_lanes > RAY_SORT_MAX_LANES:
         return False
     return active_primitive_count(scene) >= 256

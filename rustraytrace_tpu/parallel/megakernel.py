@@ -207,6 +207,13 @@ def render_image_sharded_megakernel(scene: Scene, cfg: RenderConfig, *,
                 stratified=stratified, sqrt_spp=sqrt_spp, sample_offset=done,
                 respawn=True)
         accum = accum + acc_pass
+        # Fence BEFORE counting the pass: device errors surface
+        # asynchronously (at materialization, not dispatch), so without this
+        # every captured resume state would hold a poisoned lazy array and
+        # the render_image_sharded fallback would re-raise inside its
+        # fallback=False recursion instead of degrading (ADVICE r4).  One
+        # scalar device->host copy per multi-second pass is noise.
+        np.asarray(accum[0, 0, 0])
         done += spp_traced_mesh(this, mesh)
         if progress is not None:
             progress(done, spp_total)

@@ -252,7 +252,9 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, *, mesh: Mesh,
 
     key = jax.random.key(cfg.seed)
     n_spp = mesh.shape["spp"]
-    per_pass = _ceil_to(cfg.spp_per_pass, n_spp)
+    from ..render import _DEFAULT_SPP_PER_PASS
+
+    per_pass = _ceil_to(cfg.spp_per_pass or _DEFAULT_SPP_PER_PASS, n_spp)
 
     while done < spp_total:
         this = min(per_pass, _ceil_to(spp_total - done, n_spp))

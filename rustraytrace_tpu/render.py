@@ -251,27 +251,34 @@ def resolve_backend(scene: Scene, integrator: str, backend: str = "auto") -> str
 _PASS_RAY_TARGET = 64 * 1024 * 1024
 _PASS_SPP_CAP = 1024
 _PASS_SPP_FLOOR = 32  # see effective_spp_per_pass: dead-lane tail at 4K
+_DEFAULT_SPP_PER_PASS = 16  # the auto base (gpu/mod.rs:11 SPP_PER_PASS)
 
 
 def effective_spp_per_pass(cfg: RenderConfig, backend: str, spp_total: int,
                            n_pix: int) -> int:
-    """Samples per launch for the host pass loop.  ``cfg.spp_per_pass`` is
-    the MINIMUM batch (the gpu/mod.rs:11 SPP_PER_PASS analog); kernel
-    backends fold more samples per launch for small images, up to the ray
-    budget.  The XLA backend keeps the configured batch (its pass is a
-    fori_loop over samples — launch count is not its cost model, and the
-    differentiable path's memory scales with the per-pass sample count)."""
+    """Samples per launch for the host pass loop.
+
+    ``cfg.spp_per_pass == 0`` (the dataclass default) means AUTO: 16 on the
+    XLA backend; kernel backends fold more samples per launch for small
+    images, up to the ray budget (the XLA pass is a fori_loop over samples —
+    launch count is not its cost model, and the differentiable path's memory
+    scales with the per-pass sample count).  An EXPLICIT value is honored
+    exactly in both directions (a small batch buys checkpoint/progress
+    grain; ADVICE r4 — the old floor silently coarsened it).
+    FLOOR (round 4, auto only): huge framebuffers hit the ray budget below
+    the default 16-spp batch; a warm-timed 4K A/B (walls at per-pass
+    16/32/64 = 32.7/32.2/31.5 s) shows pass size is nearly flat there, so
+    the floor buys only ~2-4% plus fewer pass boundaries — kept because it
+    is free and a 4K pass at 32 spp (~5 s) is still a fine checkpoint
+    grain."""
     base = cfg.spp_per_pass
+    explicit = base > 0
+    if not explicit:
+        base = _DEFAULT_SPP_PER_PASS
     if backend == "xla":
         return base
-    # the cap bounds only the AUTO-raise — an explicit larger
-    # cfg.spp_per_pass is the user's call and is honored.
-    # FLOOR (round 4): huge framebuffers hit the ray budget below the
-    # default 16-spp batch; a warm-timed 4K A/B (walls at per-pass
-    # 16/32/64 = 32.7/32.2/31.5 s) shows pass size is nearly flat there,
-    # so the floor buys only ~2-4% plus fewer pass boundaries — kept
-    # because it is free and a 4K pass at 32 spp (~5 s) is still a fine
-    # checkpoint grain.
+    if explicit:
+        return max(1, min(spp_total, base))
     raise_to = min(_PASS_RAY_TARGET // max(n_pix, 1), _PASS_SPP_CAP)
     return max(1, min(spp_total, max(base, raise_to, _PASS_SPP_FLOOR)))
 

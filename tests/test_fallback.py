@@ -114,18 +114,20 @@ def test_sharded_fallback_resumes_from_pass_boundary(small):
 
 
 def test_effective_spp_per_pass_folding():
-    """Launch folding (BASELINE config 1 economics): kernel backends fold
-    small-image renders into one launch; big images and the XLA backend
-    keep the configured batch."""
+    """Launch folding (BASELINE config 1 economics): with the AUTO default
+    (spp_per_pass=0) kernel backends fold small-image renders into one
+    launch; big images and the XLA backend keep the base batch.  An
+    EXPLICIT spp_per_pass is honored exactly in both directions
+    (ADVICE r4: the old floor silently coarsened small explicit batches)."""
     from rustraytrace_tpu.config import RenderConfig
     from rustraytrace_tpu.render import effective_spp_per_pass
 
     cfg = RenderConfig(image_width=400, aspect_ratio=16 / 9,
-                       samples_per_pixel=100, spp_per_pass=16)
+                       samples_per_pixel=100)  # spp_per_pass=0 -> AUTO
     n1 = 400 * 225
     # config 1: one launch for the whole render
     assert effective_spp_per_pass(cfg, "wavefront", 100, n1) == 100
-    # xla keeps the configured batch (remat memory scales with it)
+    # xla keeps the base batch (remat memory scales with it)
     assert effective_spp_per_pass(cfg, "xla", 100, n1) == 16
     # flagship: 64 spp in one launch (52M rays < 64M budget)
     assert effective_spp_per_pass(cfg, "wavefront", 64, 1200 * 675) == 64
@@ -134,10 +136,18 @@ def test_effective_spp_per_pass_folding():
     # floor buys a few percent and fewer pass boundaries)
     assert effective_spp_per_pass(cfg, "wavefront", 1000, 3840 * 2160) == 32
     # the AUTO-raise is capped at 1024...
-    big = RenderConfig(image_width=16, samples_per_pixel=100000,
-                       spp_per_pass=16)
+    big = RenderConfig(image_width=16, samples_per_pixel=100000)
     assert effective_spp_per_pass(big, "wavefront", 100000, 256) == 1024
-    # ...but an EXPLICIT larger batch is the user's call and is honored
+    # ...an EXPLICIT larger batch is the user's call and is honored...
     explicit = RenderConfig(image_width=16, samples_per_pixel=100000,
                             spp_per_pass=4096)
     assert effective_spp_per_pass(explicit, "wavefront", 100000, 256) == 4096
+    # ...and so is an explicit SMALLER one (fine-grained checkpointing):
+    # no auto-raise, no floor — exactly what was asked, on every backend
+    fine = RenderConfig(image_width=400, aspect_ratio=16 / 9,
+                        samples_per_pixel=100, spp_per_pass=4)
+    assert effective_spp_per_pass(fine, "wavefront", 100, n1) == 4
+    assert effective_spp_per_pass(fine, "xla", 100, n1) == 4
+    fine4k = RenderConfig(image_width=3840, aspect_ratio=16 / 9,
+                          samples_per_pixel=1000, spp_per_pass=8)
+    assert effective_spp_per_pass(fine4k, "wavefront", 1000, 3840 * 2160) == 8
