@@ -27,18 +27,22 @@ def device_fence(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def time_best(go, repeats: int = 2) -> float:
+def time_best(go, repeats: int = 2, on_rep=None) -> float:
     """Best-of-``repeats`` wall time of ``go()``, fenced with a
     device->host copy (see device_fence) — the one timing idiom every
     bench script shares.  ``go`` must have been run once already (warmup/
-    compile)."""
+    compile).  ``on_rep(i, seconds)`` fires after each rep (bench.py logs
+    per-rep times to stderr so a driver-recorded number is auditable)."""
     import time
 
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
         device_fence(go())
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if on_rep is not None:
+            on_rep(i, dt)
+        best = min(best, dt)
     return best
 
 
