@@ -25,10 +25,10 @@ import sys
 
 import jax
 
-# Default to CPU: the differentiable path is a large scan/remat program the
-# axon tunnel's remote TPU compiler dies on (SIGILL in tpu_compile_helper,
-# observed round 4), and config 4's recovery gate is platform-independent.
-# Pass --device tpu to opt back in on a healthy TPU toolchain.
+# Round 4 gated this example to CPU (the remote TPU compiler SIGILLed on
+# fused value_and_grad programs); round 5's two-program split
+# (diff.value_and_grad_loss) compiles and runs on the TPU, so the default
+# is now "auto" — whatever platform JAX has.  --device cpu still pins CPU.
 def _device_arg(argv):
     """Pre-argparse scan for --device: handles '--device tpu', '--device=tpu'
     and a missing value (argparse reports that later) — ADVICE r4."""
@@ -37,10 +37,10 @@ def _device_arg(argv):
             return argv[i + 1]
         if tok.startswith("--device="):
             return tok.split("=", 1)[1]
-    return "cpu"
+    return "auto"
 
 
-if _device_arg(sys.argv) != "tpu":
+if _device_arg(sys.argv) == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
@@ -74,8 +74,9 @@ def main():
                     help="Orbax train-state checkpoint directory; pass with "
                          "--resume to continue a killed run")
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--device", default="cpu", choices=("cpu", "tpu"),
-                    help="cpu (default; see module note) or tpu")
+    ap.add_argument("--device", default="auto",
+                    choices=("auto", "cpu", "tpu"),
+                    help="auto (default: TPU when present), cpu, or tpu")
     args = ap.parse_args()
 
     true_albedo = (0.75, 0.25, 0.15)
@@ -154,6 +155,7 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
+    os.makedirs(args.out_dir, exist_ok=True)
     for name, sc in [("target", true_scene), ("initial", wrong),
                      ("fitted", fitted)]:
         img = render_mean(sc, cam, jax.random.key(42), **kw)

@@ -64,6 +64,27 @@ from ..scene import Scene
 _SIGMA = 0.5  # bump width in sub-pixel (jitter) units
 
 
+def splat_weights(u: jnp.ndarray):
+    """Bilinear (tent-filter) splat of a jitter position u [R,2] in
+    [-0.5, 0.5]^2 onto the sample's 2x2 pixel neighborhood.
+
+    Returns (dx [R], dy [R], w00, w10, w01, w11) where (dx, dy) in
+    {-1,0,+1} are the offsets of the second column/row and the four
+    weights (partition of unity: they sum to exactly 1) correspond to
+    offsets (0,0), (dx,0), (0,dy), (dx,dy).  Differentiable in u away
+    from the measure-zero |u|=0 kinks — the θ-gradient of these weights
+    through the warped jitter IS the filter-crossing term of the
+    warped-area estimator (see the module/pixel-filter note in
+    ``warped_primary_rays``)."""
+    ax = jnp.abs(u[:, 0])
+    ay = jnp.abs(u[:, 1])
+    dx = jnp.where(u[:, 0] >= 0.0, 1, -1)
+    dy = jnp.where(u[:, 1] >= 0.0, 1, -1)
+    bx0 = 1.0 - ax
+    by0 = 1.0 - ay
+    return (dx, dy, bx0 * by0, ax * by0, bx0 * ay, ax * ay)
+
+
 def _disc_terms(u, base, du, dv, o, time, C, V, r):
     """Discriminant and its analytic u-gradient for every (ray, sphere).
 
@@ -138,14 +159,40 @@ def _warp_field(u, base, du, dv, o, time, scene: Scene, scene_d: Scene):
     return jnp.stack([wx, wy], axis=-1)
 
 
-def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None):
-    """Drop-in replacement for camera.generate_rays with the silhouette
-    warp applied to the sub-pixel jitter.
+def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None,
+                        warp: bool = True):
+    """Primary rays for the DIFFERENTIABLE path: box-jittered rays, plus
+    (``warp=True``) the silhouette warp applied to the jitter.
 
-    Returns (origin [R,3], direction [R,3], time [R], weight [R]) where
-    weight = det(∂T/∂u) (≡ 1 in value) multiplies the sample's radiance.
-    Forward renders are bit-identical to the unwarped path (same draw
-    layout as camera.generate_rays)."""
+    Returns (origin [R,3], direction [R,3], time [R], det [R], u_w [R,2]):
+    ``det`` (≡ 1 in value when warping) multiplies the sample's radiance,
+    and ``u_w`` is the (warped — value-identical) sub-pixel jitter the
+    caller must SPLAT with (``splat_weights``).
+
+    PIXEL FILTER (round 5): the differentiable path SPLATS each sample
+    onto its 2x2 pixel neighborhood with bilinear (tent) weights instead
+    of binning it to its own pixel (box filter).  Why: the warped-area
+    change of variables ∫ f(T(u))·det du = ∫ f du is exact per
+    integration cell only up to a flux through the cell boundary, where
+    the warp field W does not vanish — with box binning that adds a
+    pixel-edge flux term ∮ f·(∂θW·n) to every pixel's AD gradient.  The
+    flux cancels between neighbors for UNIFORM loss cotangents (sum/mean
+    losses — how the round-3 validation was run) but biases any per-pixel
+    loss: measured on the minimal one-sphere scene at an offset state
+    (MSE vs a fixed target, 16 keys), box-filter AD captured only 60-77%
+    of the lateral FD gradient and got DEPTH backwards (ad=-0.054 vs
+    fd=+0.061) — which made the BASELINE-config-4 fit walk away from the
+    optimum it had nearly reached (scripts/diag_grad_bias.py).  With tent
+    SPLATTING the sample's image contribution Σ_p tent(s-p)·f(s) is
+    CONTINUOUS in the global sample position s, so adjacent cells' flux
+    integrands are identical and cancel exactly for ANY cotangent; the
+    θ-gradient of the splat weights through u_w is the filter-crossing
+    term, and it scales with LOCAL cotangent differences (exactly zero
+    for uniform ones — a tent importance-RATIO formulation was tried
+    first and its 1/tent(u) weight swung single-key sum-loss gradients by
+    3x; the partition-of-unity splat replaces it).  ``warp=False`` gives
+    the same rays (bit-identical values, det 1) without the warp
+    machinery — the cheap forward of diff.value_and_grad_loss."""
     from .rng import in_unit_disk
 
     dt = draws.dtype
@@ -168,6 +215,13 @@ def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None):
         origin = jnp.broadcast_to(cam.center[None, :],
                                   (px.shape[0], 3)).astype(dt)
     time = draws[:, 4]
+
+    if not warp:
+        pixel_sample = (cam.pixel00[None, :]
+                        + (px + u[:, 0])[:, None] * cam.pixel_delta_u[None, :]
+                        + (py + u[:, 1])[:, None] * cam.pixel_delta_v[None, :])
+        return (origin, pixel_sample - origin, time, jnp.ones_like(time), u)
+
     base = (cam.pixel00[None, :]
             + px[:, None] * cam.pixel_delta_u[None, :]
             + py[:, None] * cam.pixel_delta_v[None, :]
@@ -195,6 +249,6 @@ def warped_primary_rays(scene: Scene, cam, px, py, draws, strat=None):
                     + (px + u_w[:, 0])[:, None] * cam.pixel_delta_u[None, :]
                     + (py + u_w[:, 1])[:, None] * cam.pixel_delta_v[None, :])
     direction = pixel_sample - origin
-    return origin, direction, time, det
+    return origin, direction, time, det, u_w
 
 

@@ -54,13 +54,20 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                         sample_offset: jnp.ndarray | int = 0,
                         remat: bool = True,
                         backend: str = "xla",
-                        warp_primary: bool = False) -> jnp.ndarray:
+                        warp_primary=False) -> jnp.ndarray:
     """Trace >= ``spp`` samples/pixel across the mesh.
 
     Returns the radiance SUM [H, W, 3] (replicated over 'spp', sharded over
     'px' until gathered).  The actual sample count traced is
     ``ceil(spp / n_spp_shards) * n_spp_shards`` — use ``spp_traced`` to
     normalize:  ``render_pass_sharded.spp_traced(spp, mesh)``.
+
+    ``warp_primary`` selects the DIFFERENTIABLE path's estimator: samples
+    go through ``trace_rays_diff`` and are tent-SPLATTED onto their 2x2
+    pixel neighborhoods (see ops/warp.py's pixel-filter note) — True adds
+    the silhouette warp, "tent" is the value-identical plain forward.
+    Splat contributions cross pixel-shard boundaries, so the accumulator
+    is a full image per shard, psum'd to a replicated result.
     """
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
@@ -82,8 +89,42 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
         py_all = jnp.minimum(pix // width, height - 1).astype(dt).reshape(
             n_chunks, chunk_eff
         )
+        valid_all = (pix < n_pix).astype(dt).reshape(n_chunks, chunk_eff)
         # global start pixel of each local chunk (mesh-independent key basis)
         gstarts = px_idx * n_local + jnp.arange(n_chunks) * chunk_eff
+
+        if warp_primary:
+            from ..render import splat_terms, trace_rays_diff
+
+            def one_sample(s):
+                s_idx = sample_offset + spp_idx * spp_local + s
+
+                def chunk_body(acc, args):
+                    gc, px, py, v = args
+                    kc = jax.random.fold_in(
+                        jax.random.fold_in(key, s_idx), gc)
+                    rad, u_w = trace_rays_diff(
+                        scene, cam, kc, s_idx, px, py, max_depth=max_depth,
+                        integrator=integrator, stratified=stratified,
+                        sqrt_spp=sqrt_spp, warp=warp_primary is True)
+                    for idx, w in splat_terms(px, py, u_w, v, width, height):
+                        acc = acc.at[idx].add(rad * w[:, None])
+                    return acc, None
+
+                acc, _ = jax.lax.scan(
+                    chunk_body, jnp.zeros((n_pix, 3), dt),
+                    (gstarts, px_all, py_all, valid_all))
+                return acc
+
+            body = jax.checkpoint(one_sample) if remat else one_sample
+
+            def sample_body(accum, s):
+                return accum + body(s), None
+
+            accum, _ = jax.lax.scan(
+                sample_body, jnp.zeros((n_pix, 3), dt),
+                jnp.arange(spp_local))
+            return jax.lax.psum(accum, ("px", "spp"))
 
         def one_sample(s):
             s_idx = sample_offset + spp_idx * spp_local + s
@@ -95,7 +136,6 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
                     scene, cam, kc, s_idx, px, py, max_depth=max_depth,
                     integrator=integrator, stratified=stratified,
                     sqrt_spp=sqrt_spp, backend=backend,
-                    warp_primary=warp_primary,
                 )
                 return None, rad
 
@@ -116,13 +156,15 @@ def render_pass_sharded(scene: Scene, cam: CameraParams, key: jax.Array, *,
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("px")),
-        out_specs=P("px", None),
+        out_specs=P() if warp_primary else P("px", None),
         # The integrator's scan carries mix constants (unvarying) with traced
         # values (varying); the static VMA check can't type that, so turn it
         # off — psum placement is explicit here anyway.
         check_vma=False,
     )
     accum = sharded(scene, cam, key, pix)
+    if warp_primary:
+        return accum.reshape(height, width, 3)
     return accum[:n_pix].reshape(height, width, 3)
 
 
@@ -130,6 +172,131 @@ def spp_traced(spp: int, mesh: Mesh) -> int:
     """Samples actually traced per pixel by ``render_pass_sharded``."""
     n_spp = mesh.shape["spp"]
     return -(-spp // n_spp) * n_spp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "integrator",
+                     "chunk", "stratified", "sqrt_spp", "mesh", "remat",
+                     "warp_primary"),
+)
+def render_contract_sharded(scene: Scene, cam: CameraParams, key: jax.Array,
+                            ct: jnp.ndarray, *,
+                            width: int, height: int, spp: int, max_depth: int,
+                            mesh: Mesh, integrator: str = "path",
+                            chunk: int = 65536, stratified: bool = False,
+                            sqrt_spp: int = 0,
+                            sample_offset: jnp.ndarray | int = 0,
+                            remat: bool = True,
+                            warp_primary: bool = False) -> jnp.ndarray:
+    """Scalar contraction ``sum(radiance_sum * ct)`` of the SAME sample set
+    ``render_pass_sharded`` traces (identical keys/streams), without ever
+    materializing the radiance image: each chunk's radiance contracts
+    against its ``ct`` slice immediately and the scan carries one scalar.
+
+    This exists for the TPU gradient path (round 5): the remote XLA
+    compiler's fusion pass SIGILLs on any program that keeps the warp's
+    forward trace live next to its backward (value_and_grad, MSE losses,
+    image-valued outputs feeding the loss — all crash; see
+    scripts/diag_diff_tpu.py for the bisect matrix).  A grad-ONLY program of
+    this contraction — primal dead-coded, cotangent ``ct`` an argument —
+    is the one differentiable-with-warp shape the compiler survives, and
+    ``grad(render_contract_sharded)(p, ct)`` with
+    ``ct = dLoss/dimage_sum`` IS the exact loss gradient when the keys
+    match the forward render that produced the loss (diff.value_and_grad_loss).
+
+    ``ct``: [H, W, 3] cotangent w.r.t. the radiance SUM (not the mean).
+    ``warp_primary``: as in ``render_pass_sharded`` — truthy routes
+    through ``trace_rays_diff`` and contracts each sample against the
+    tent-splat gather Σ_4 w_i·ct[p_i] (the per-chunk form of the splatted
+    image's contraction; ``ct`` is replicated since splats cross shard
+    boundaries); True adds the silhouette warp.
+    """
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    n_pix = width * height
+    per_shard = -(-n_pix // n_px)
+    chunk_eff = min(chunk, _ceil_to(per_shard, 256))
+    n_local = _ceil_to(per_shard, chunk_eff)
+    n_pad = n_local * n_px
+    n_chunks = n_local // chunk_eff
+    spp_local = -(-spp // n_spp)
+    dt = jnp.float32
+
+    pix = jnp.arange(n_pad, dtype=jnp.int32)
+    ct_flat = jnp.zeros((n_pad, 3), dt).at[:n_pix].set(
+        ct.reshape(n_pix, 3).astype(dt))
+
+    def shard_body(scene, cam, key, pix, ct_in):
+        spp_idx = jax.lax.axis_index("spp")
+        px_idx = jax.lax.axis_index("px")
+        px_all = (pix % width).astype(dt).reshape(n_chunks, chunk_eff)
+        py_all = jnp.minimum(pix // width, height - 1).astype(dt).reshape(
+            n_chunks, chunk_eff
+        )
+        valid_all = (pix < n_pix).astype(dt).reshape(n_chunks, chunk_eff)
+        gstarts = px_idx * n_local + jnp.arange(n_chunks) * chunk_eff
+        if warp_primary:
+            # ct_in is the REPLICATED padded array: full-image view for
+            # the splat gathers (splats cross shard boundaries)
+            ct_full = ct_in[:n_pix]
+            xs = (gstarts, px_all, py_all, valid_all)
+        else:
+            # ct_in is the shard's own [n_local, 3] slice: contract each
+            # chunk against its aligned ct rows
+            ct_full = None
+            xs = (gstarts, px_all, py_all,
+                  ct_in.reshape(n_chunks, chunk_eff, 3))
+
+        def one_sample(s):
+            s_idx = sample_offset + spp_idx * spp_local + s
+
+            def chunk_body(acc, args):
+                if warp_primary:
+                    from ..render import splat_terms, trace_rays_diff
+
+                    gc, px, py, v = args
+                    kc = jax.random.fold_in(
+                        jax.random.fold_in(key, s_idx), gc)
+                    rad, u_w = trace_rays_diff(
+                        scene, cam, kc, s_idx, px, py, max_depth=max_depth,
+                        integrator=integrator, stratified=stratified,
+                        sqrt_spp=sqrt_spp, warp=warp_primary is True)
+                    ct_eff = sum(
+                        w[:, None] * ct_full[idx]
+                        for idx, w in splat_terms(px, py, u_w, v,
+                                                  width, height))
+                    return acc + jnp.sum(rad * ct_eff), None
+                gc, px, py, ctc = args
+                kc = jax.random.fold_in(jax.random.fold_in(key, s_idx), gc)
+                rad = trace_rays(
+                    scene, cam, kc, s_idx, px, py, max_depth=max_depth,
+                    integrator=integrator, stratified=stratified,
+                    sqrt_spp=sqrt_spp, backend="xla",
+                )
+                return acc + jnp.sum(rad * ctc), None
+
+            out, _ = jax.lax.scan(chunk_body, jnp.float32(0), xs)
+            return out
+
+        body = jax.checkpoint(one_sample) if remat else one_sample
+
+        def sample_body(accum, s):
+            return accum + body(s), None
+
+        accum, _ = jax.lax.scan(
+            sample_body, jnp.float32(0), jnp.arange(spp_local)
+        )
+        return jax.lax.psum(accum, ("px", "spp"))
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("px"), P() if warp_primary else P("px")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(scene, cam, key, pix, ct_flat)
 
 
 def resolve_sharded_backend(scene: Scene, integrator: str, mesh: Mesh,

@@ -33,11 +33,24 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _strat_tuple(s_idx, stratified: bool, sqrt_spp: int):
+    dt = jnp.float32
+    if not stratified:
+        return None
+    # wrap into the sqrt_spp x sqrt_spp grid: spp-sharded passes can round
+    # the sample count up past sqrt_spp^2, and an unwrapped s_idx would
+    # place the sub-pixel stratum OUTSIDE the pixel footprint (biased
+    # jitter into the neighboring row region)
+    s_idx = s_idx % (sqrt_spp * sqrt_spp)
+    s_i = (s_idx % sqrt_spp).astype(dt)
+    s_j = (s_idx // sqrt_spp).astype(dt)
+    return (s_i, s_j, float(sqrt_spp))
+
+
 def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
                s_idx, px, py, *, max_depth: int, integrator: str = "path",
                stratified: bool = False, sqrt_spp: int = 0,
-               backend: str = "xla",
-               warp_primary: bool = False) -> jnp.ndarray:
+               backend: str = "xla") -> jnp.ndarray:
     """Trace ONE sample for a chunk of pixels; the shared inner unit of both
     the single-chip pass loop and the sharded (shard_map) pass.
 
@@ -45,11 +58,9 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     pixels/samples are sharded, so N-chip renders reproduce 1-chip renders.
     s_idx: absolute sample index (drives book-3 stratification).
     px, py: [chunk] pixel coordinates (float).
-    warp_primary: apply the warped-area silhouette reparameterization to the
-    primary-ray jitter (ops/warp.py) — forward values are bit-identical, but
-    reverse-mode gradients gain the sphere-visibility boundary term.  The
-    differentiable path (diff.render_mean) enables it.
-    Returns the radiance [chunk, 3] of this sample.
+    Returns the radiance [chunk, 3] of this sample (box pixel filter — the
+    production estimator; the differentiable path's tent-splatted variant
+    is :func:`trace_rays_diff`).
     """
     dt = jnp.float32
     opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode,
@@ -57,26 +68,55 @@ def trace_rays(scene: Scene, cam: CameraParams, key_sc: jax.Array,
     trace = trace_mis if integrator == "mis" else trace_path
     k_cam, k_path = jax.random.split(key_sc)
     cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)
-    if stratified:
-        # wrap into the sqrt_spp x sqrt_spp grid: spp-sharded passes can round
-        # the sample count up past sqrt_spp^2, and an unwrapped s_idx would
-        # place the sub-pixel stratum OUTSIDE the pixel footprint (biased
-        # jitter into the neighboring row region)
-        s_idx = s_idx % (sqrt_spp * sqrt_spp)
-        s_i = (s_idx % sqrt_spp).astype(dt)
-        s_j = (s_idx // sqrt_spp).astype(dt)
-        strat = (s_i, s_j, float(sqrt_spp))
-    else:
-        strat = None
-    if warp_primary:
-        from .ops.warp import warped_primary_rays
-
-        o, d, time, w_det = warped_primary_rays(
-            scene, cam, px, py, cam_draws, strat)
-        rad = trace(k_path, o, d, time, scene, cam.background, opts)
-        return rad * w_det[:, None]
+    strat = _strat_tuple(s_idx, stratified, sqrt_spp)
     o, d, time = generate_rays(cam, px, py, cam_draws, strat)
     return trace(k_path, o, d, time, scene, cam.background, opts)
+
+
+def trace_rays_diff(scene: Scene, cam: CameraParams, key_sc: jax.Array,
+                    s_idx, px, py, *, max_depth: int,
+                    integrator: str = "path", stratified: bool = False,
+                    sqrt_spp: int = 0, warp: bool = True):
+    """The DIFFERENTIABLE path's inner unit: same draw layout and streams
+    as :func:`trace_rays`, but primary rays go through ops/warp.py
+    (``warp=True`` adds the silhouette warp; False is the value-identical
+    plain forward) and the caller must tent-SPLAT each sample onto its
+    2x2 pixel neighborhood (see the pixel-filter note in
+    ``ops.warp.warped_primary_rays``).
+
+    Returns (radiance*det [chunk,3], u_w [chunk,2])."""
+    dt = jnp.float32
+    opts = IntegratorOptions(max_depth=max_depth, bg_mode=cam.bg_mode,
+                             backend="xla")
+    trace = trace_mis if integrator == "mis" else trace_path
+    k_cam, k_path = jax.random.split(key_sc)
+    cam_draws = jax.random.uniform(k_cam, (px.shape[0], 5), dtype=dt)
+    strat = _strat_tuple(s_idx, stratified, sqrt_spp)
+    from .ops.warp import warped_primary_rays
+
+    o, d, time, det, u_w = warped_primary_rays(
+        scene, cam, px, py, cam_draws, strat, warp=warp)
+    rad = trace(k_path, o, d, time, scene, cam.background, opts)
+    return rad * det[:, None], u_w
+
+
+def splat_terms(px, py, u_w, valid, width: int, height: int):
+    """The tent splat of a sample at pixel (px, py) + jitter ``u_w`` as
+    four (flat_pixel_index [chunk], weight [chunk]) pairs.  Out-of-image
+    neighbors clamp to the border pixel (energy-preserving, slightly
+    lopsided border filter); ``valid`` (0/1 float) zeroes padding lanes so
+    they cannot pollute real pixels."""
+    from .ops.warp import splat_weights
+
+    ix = px.astype(jnp.int32)
+    iy = py.astype(jnp.int32)
+    dx, dy, w00, w10, w01, w11 = splat_weights(u_w)
+    nx = jnp.clip(ix + dx, 0, width - 1)
+    ny = jnp.clip(iy + dy, 0, height - 1)
+    return ((iy * width + ix, w00 * valid),
+            (iy * width + nx, w10 * valid),
+            (ny * width + ix, w01 * valid),
+            (ny * width + nx, w11 * valid))
 
 
 def render_pass(scene: Scene, cam: CameraParams, key: jax.Array, *,

@@ -39,11 +39,36 @@ def _loss(scene, key, spp, warp=True):
 
 
 def test_warp_forward_values_bit_identical():
+    """The warp machinery is value-transparent: warp=True and the plain
+    tent-filtered forward (warp="tent") are bit-identical.  (Round 5: the
+    differentiable path samples pixels through a TENT filter — see the
+    pixel-edge-flux note in ops/warp.py — so the comparison point is the
+    tent forward, not the production box filter.)"""
     scene = _scene()
     key = jax.random.key(3)
     a = float(_loss(scene, key, 8, warp=True))
-    b = float(_loss(scene, key, 8, warp=False))
+    b = float(_loss(scene, key, 8, warp="tent"))
     assert a == b
+
+
+def test_splat_weights_partition_of_unity():
+    """The tent-splat weights over the 2x2 neighborhood sum to exactly 1
+    (partition of unity — what makes the cell-edge flux cancel for any
+    loss cotangent), are bilinear in the jitter, and pick the neighbor on
+    the jitter's side."""
+    from rustraytrace_tpu.ops.warp import splat_weights
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.uniform(-0.5, 0.5, (257, 2)), jnp.float32)
+    dx, dy, w00, w10, w01, w11 = splat_weights(u)
+    total = np.asarray(w00 + w10 + w01 + w11)
+    np.testing.assert_allclose(total, 1.0, atol=1e-6)
+    assert np.all(np.asarray(w00) >= 0) and np.all(np.asarray(w11) >= 0)
+    np.testing.assert_array_equal(
+        np.asarray(dx), np.where(np.asarray(u[:, 0]) >= 0, 1, -1))
+    # centered sample: all weight on its own pixel
+    _, _, c00, c10, c01, c11 = splat_weights(jnp.zeros((1, 2)))
+    assert float(c00[0]) == 1.0 and float(c10[0] + c01[0] + c11[0]) == 0.0
 
 
 def test_silhouette_center_fd_vs_ad():
@@ -90,6 +115,49 @@ def test_silhouette_radius_fd_vs_ad():
           - float(loss_of_r(jnp.asarray(0.5 - eps)))) / (2 * eps)
     assert abs(fd) > 1e-3
     assert abs(ad - fd) <= 0.15 * abs(fd), (ad, fd)
+
+
+def test_mse_offset_state_fd_vs_ad():
+    """REGRESSION PIN for the round-5 pixel-edge-flux fix (ops/warp.py):
+    with a per-pixel (MSE) loss at an OFFSET state, the box-filter warp's
+    AD gradient carried a spurious pixel-edge flux term — it captured only
+    60-77% of the lateral FD gradient and got DEPTH (cz) backwards
+    (measured: ad=-0.054 vs fd=+0.061), which made the BASELINE-config-4
+    fit diverge after nearly converging.  Under the tent filter the flux
+    term vanishes; this pins sign+magnitude for cx and SIGN for cz (the
+    ~15% residual is the documented secondary scope bias + MC noise)."""
+    spp = 64
+    target = render_mean(_scene(), derive_camera(CFG), jax.random.key(42),
+                         width=24, height=24, spp=spp, max_depth=3,
+                         mesh=make_mesh(jax.devices()[:1]), chunk=576)
+    base = dataclasses.replace(
+        _scene(), sph_center=jnp.asarray([[0.08, -0.05, -1.9]], jnp.float32))
+    cam = derive_camera(CFG)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def loss_with(delta3, key):
+        s = dataclasses.replace(
+            base, sph_center=base.sph_center.at[0].add(delta3))
+        img = render_mean(s, cam, key, width=24, height=24, spp=spp,
+                          max_depth=3, mesh=mesh, chunk=576,
+                          warp_primary=True)
+        return jnp.mean((img - target) ** 2)
+
+    for axis, rel_band in [(0, 0.35), (2, None)]:
+        ads, fds = [], []
+        eps = 0.02
+        for k in range(8):
+            key = jax.random.key(100 + k)
+            g = jax.grad(lambda d: loss_with(
+                jnp.zeros(3).at[axis].set(d), key))(jnp.asarray(0.0))
+            ads.append(float(g))
+            lp = float(loss_with(jnp.zeros(3).at[axis].set(eps), key))
+            lm = float(loss_with(jnp.zeros(3).at[axis].set(-eps), key))
+            fds.append((lp - lm) / (2 * eps))
+        ad, fd = np.mean(ads), np.mean(fds)
+        assert ad * fd > 0, (axis, ad, fd)  # matching sign
+        if rel_band is not None:
+            assert abs(ad - fd) <= rel_band * abs(fd), (axis, ad, fd)
 
 
 def test_secondary_silhouette_residual_bias_quantified():
