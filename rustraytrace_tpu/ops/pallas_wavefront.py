@@ -501,7 +501,22 @@ def _persist_sort_perm(st, spp, R, key_mode: str = "pos_oct"):
       while_loop exits immediately (dead-lane compaction for free).
 
     Ties (same cell+octant) keep slot order via stable argsort, so the
-    permutation is deterministic."""
+    permutation is deterministic.
+
+    COST (round 5): a single global ``argsort`` is super-linear on TPU
+    (measured 17/75/276 ms at 0.86/2.1/8.4 M lanes) and at ~24 launches
+    per flagship bench pass the sort was ~12% of the whole render.  The
+    permutation is therefore SEGMENTED (``_sort_segments``): keys are
+    argsorted in independent fixed-size segments (batched sort along the
+    minor axis — linear in R for a fixed segment size) and lanes never
+    leave their segment.  Respawns are pixel-coherent per segment anyway
+    (segments inherit the swizzled slot layout), the in-segment Morton
+    grouping restores the tile coherence the cull needs, and because
+    slots stay inside their segment the final slot-order RESTORE is the
+    same batched local argsort.  The only loss vs a global sort is
+    cross-segment pooling of finished lanes; the end-to-end A/B
+    (scripts/bench_sort_seg.py) measured it within noise while the sort
+    cost itself dropped ~4x at 856k lanes."""
     mid = st[19].reshape(R)
     done = st[15].reshape(R)
     slot = st[20].reshape(R).astype(jnp.int32)
@@ -532,7 +547,46 @@ def _persist_sort_perm(st, spp, R, key_mode: str = "pos_oct"):
     key = jnp.where(act, key_mid,
                     jnp.where(finished, jnp.int32(3 << 28),
                               jnp.int32(2 << 28) + slot))
-    return jnp.argsort(key, stable=True)
+    return _segmented_argsort(key, R)
+
+
+# Segment size for the between-launch lane sort, in lanes; the actual
+# segment is the largest divisor of R that is <= this (so the reshape is
+# exact).  2^17 lanes = 32 tiles of 4096: big enough that in-segment
+# Morton grouping fills tiles with spatially-tight rays, small enough
+# that the batched sort stays linear in R.  RTT_SORT_SEG overrides
+# (0 = one global argsort, the round-4 behavior).
+SORT_SEG_LANES = 1 << 17
+
+
+def _sort_seg(R: int) -> int:
+    """Largest divisor of R (in lanes) that is <= the configured segment
+    size and a multiple of the 128-lane row; R itself when none fits."""
+    import os
+
+    env = os.environ.get("RTT_SORT_SEG")
+    target = int(env) if env else SORT_SEG_LANES
+    if target <= 0 or R <= target:
+        return R
+    rows = R // TILE_LANES
+    best = 1
+    for k in range(1, rows + 1):
+        if rows % k == 0 and k * TILE_LANES <= target:
+            best = k
+    return best * TILE_LANES
+
+
+def _segmented_argsort(key: jnp.ndarray, R: int) -> jnp.ndarray:
+    """Stable argsort of ``key`` [R] restricted to independent segments:
+    returns a GLOBAL permutation (local order + segment offsets).  With
+    seg == R this is exactly the round-4 global argsort."""
+    seg = _sort_seg(R)
+    if seg >= R:
+        return jnp.argsort(key, stable=True)
+    s = R // seg
+    local = jnp.argsort(key.reshape(s, seg), axis=-1, stable=True)
+    return (local + (jnp.arange(s, dtype=local.dtype) * seg)[:, None]
+            ).reshape(R)
 
 
 @functools.partial(
@@ -639,7 +693,9 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
         # gather is far cheaper than the equivalent scatter (v5e at 8.4M
         # lanes: 125 ms vs 690 ms)
         slot = st[20].reshape(R).astype(jnp.int32)
-        sums = sums[:, jnp.argsort(slot, stable=True)]
+        # slots never leave their sort segment, so the inverse is the same
+        # batched local argsort (round 5; global argsort when seg == R)
+        sums = sums[:, _segmented_argsort(slot, R)]
     return sums.T  # [R, 3] banked radiance sums
 
 

@@ -272,3 +272,34 @@ def test_fit_recovers_ior(mesh):
     # small upward residual is expected: the MSE objective carries the
     # estimator's own Var(render)/spp term, which decreases with ior
     assert abs(rec - 1.5) < 0.1, (rec, hist[-1])
+
+
+def test_value_and_grad_loss_matches_fused_vag(mesh):
+    """The TPU-safe two-program split (value_and_grad_loss: forward for
+    loss+cotangent, grad-only contraction for the gradient) must equal the
+    fused jax.value_and_grad(image_loss) — same keys => same samples =>
+    the chain rule through a fixed cotangent is exact, not approximate.
+    (The fused form compiles on CPU, where this test runs; on the TPU it
+    SIGILLs the remote compiler, which is why the split exists.)"""
+    from rustraytrace_tpu.diff import extract_params, value_and_grad_loss
+
+    scene = _lambertian_scene()
+    cam = derive_camera(CFG)
+    key = jax.random.key(5)
+    target = render_mean(scene, cam, jax.random.key(9), mesh=mesh, **KW)
+
+    wrong = _lambertian_scene(albedo=(0.3, 0.6, 0.4), center=(0.1, 0.05, -1.1))
+    params = extract_params(wrong, ["sph_center", "tex_color1"])
+
+    loss_s, g_s = value_and_grad_loss(wrong, params, target, cam, key,
+                                      mesh=mesh, **KW)
+
+    def fused(p):
+        return image_loss(apply_params(wrong, p), target, cam, key,
+                          mesh=mesh, **KW)
+
+    loss_f, g_f = jax.value_and_grad(fused)(params)
+    np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-6)
+    for k in g_s:
+        np.testing.assert_allclose(np.asarray(g_s[k]), np.asarray(g_f[k]),
+                                   rtol=2e-4, atol=1e-7)

@@ -109,3 +109,53 @@ def test_ray_sort_heuristic_env_override(monkeypatch):
     assert ray_sort_heuristic(scene_f, slot_lane_count(1200, 675))
     assert slot_lane_count(3840, 2160) > RAY_SORT_MAX_LANES
     assert not ray_sort_heuristic(scene_f, slot_lane_count(3840, 2160))
+
+
+def test_segmented_argsort_matches_global_per_segment():
+    """Round 5: the segmented sort (linear in R) is exactly the global
+    stable argsort applied independently per segment, lanes confined to
+    their segment, and the slot restore is its own inverse."""
+    import rustraytrace_tpu.ops.pallas_wavefront as wf
+
+    rng = np.random.default_rng(11)
+    R_big = 4096
+    key = jnp.asarray(rng.integers(0, 1 << 27, R_big), jnp.int32)
+    old = wf.SORT_SEG_LANES
+    try:
+        wf.SORT_SEG_LANES = 1024
+        perm = np.asarray(wf._segmented_argsort(key, R_big))
+    finally:
+        wf.SORT_SEG_LANES = old
+    assert sorted(perm.tolist()) == list(range(R_big))
+    keys = np.asarray(key)
+    for s in range(4):
+        lo, hi = s * 1024, (s + 1) * 1024
+        seg_perm = perm[lo:hi]
+        # confinement: lanes never leave their segment
+        assert ((seg_perm >= lo) & (seg_perm < hi)).all()
+        # equality with the global stable argsort of just that segment
+        ref = np.argsort(keys[lo:hi], kind="stable") + lo
+        np.testing.assert_array_equal(seg_perm, ref)
+    # restore: permuted slots are a bijection; segmented argsort of them
+    # is the exact inverse permutation
+    slots = np.arange(R_big)[perm]
+    wf.SORT_SEG_LANES = 1024
+    try:
+        inv = np.asarray(wf._segmented_argsort(
+            jnp.asarray(slots, jnp.int32), R_big))
+    finally:
+        wf.SORT_SEG_LANES = old
+    np.testing.assert_array_equal(np.arange(R_big)[perm][inv],
+                                  np.arange(R_big))
+
+
+def test_sort_seg_divisor():
+    import rustraytrace_tpu.ops.pallas_wavefront as wf
+
+    # flagship 1200x675: 6688 rows -> largest divisor <= 2^17 lanes
+    R = 6688 * 128
+    seg = wf._sort_seg(R)
+    assert R % seg == 0 and seg <= wf.SORT_SEG_LANES
+    assert seg % 128 == 0
+    # small R: one segment
+    assert wf._sort_seg(1024) == 1024
