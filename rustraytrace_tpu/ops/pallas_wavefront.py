@@ -101,6 +101,20 @@ PERSIST_SORT_ITERS = 8
 def persist_plain_iters(spp: int) -> int:
     return max(16, min(spp // 4, 128))
 
+
+def persist_sort_every(persist_iters: int) -> int:
+    """Sort-cadence routing for the sorted persist loop (round 5).  The
+    sort's dominant cost is the 21-row permute gather (per LAUNCH); plain
+    scenes amortize it over >= 16 in-kernel iterations, but the
+    image-route sorted path (book2_final) is bounded to 8 and pays the
+    permute every ~0.1 s launch.  Measured in-process (v5e, 2 reps each):
+    final @64spp sort_every 1/2/4/8/16 = 10.1/11.2/11.5/11.4/11.0
+    Mpaths/s (+14% at 4); plain scenes prefer every boundary (flagship
+    69.8/70.2/66.1, bouncing 43.9/43.2/42.6, field10k 12.7/12.5/11.8 at
+    1/2/4).  Route: every 4th boundary for short-bound launches, every
+    boundary otherwise."""
+    return 4 if persist_iters <= 8 else 1
+
 # In-kernel serial texel DMA for image-SPARSE scenes: tile-bounces with
 # <= DMA_THRESH image winners resolve them in-kernel (polynomial sphere UV +
 # an (8,128) HBM block DMA per winner); denser tiles keep the freeze
@@ -552,11 +566,17 @@ def _persist_sort_perm(st, spp, R, key_mode: str = "pos_oct"):
 
 # Segment size for the between-launch lane sort, in lanes; the actual
 # segment is the largest divisor of R that is <= this (so the reshape is
-# exact).  2^17 lanes = 32 tiles of 4096: big enough that in-segment
-# Morton grouping fills tiles with spatially-tight rays, small enough
-# that the batched sort stays linear in R.  RTT_SORT_SEG overrides
-# (0 = one global argsort, the round-4 behavior).
-SORT_SEG_LANES = 1 << 17
+# exact).  DEFAULT 0 = GLOBAL argsort: the round-5 decomposition
+# (scripts/bench_sort_seg.py + the CLAUDE.md fence note) found the
+# round-4 "argsort is super-linear" attribution WRONG — argsort measures
+# near-FLAT (28/29/44 ms at 0.86/2.1/8.4 M keys) and the LINEAR,
+# dominant cost is the 21-row permute gather (32/95/293 ms, ~4.8 GB/s
+# random-access bound, identical under every layout tried), which
+# segmentation cannot reduce; meanwhile segment-confined sorting costs
+# coherence (flagship in-process A/B: global 69.5-69.7 M vs seg2^17
+# 67.2-67.4 M vs nosort 54.6-54.8).  RTT_SORT_SEG=<lanes> keeps the
+# segmented machinery available for experiments.
+SORT_SEG_LANES = 0
 
 
 def _sort_seg(R: int) -> int:
@@ -593,7 +613,7 @@ def _segmented_argsort(key: jnp.ndarray, R: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "statics",
                      "gate_texels", "persist_iters", "dma_texels",
-                     "dma_thresh", "sort_rays", "sort_key"),
+                     "dma_thresh", "sort_rays", "sort_key", "sort_every"),
 )
 def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             *, spp: int, max_depth: int, rows: int,
@@ -603,7 +623,8 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             dma_texels: bool = False,
                             dma_thresh: int = 16,
                             sort_rays: bool = False,
-                            sort_key: str = "pos_oct"):
+                            sort_key: str = "pos_oct",
+                            sort_every: int = 1):
     """Image-scene render pass via the PERSIST kernel: whole samples run
     in-kernel (camera respawn included); a launch returns only when every
     lane has finished its ``spp`` samples or sits FROZEN on an image-texture
@@ -678,9 +699,19 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
         if sort_rays:
             # pend is already resolved into the state, so permuting here
             # cannot orphan a frozen lane's texel record
-            perm = _persist_sort_perm(st2, spp, R, sort_key)
-            st2 = st2.reshape(21, R)[:, perm].reshape(
-                21, rows, TILE_LANES)
+            def do_sort(s):
+                perm = _persist_sort_perm(s, spp, R, sort_key)
+                return s.reshape(21, R)[:, perm].reshape(
+                    21, rows, TILE_LANES)
+
+            if sort_every > 1:
+                # sort-frequency knob: the permute gather is the sort's
+                # dominant cost (see SORT_SEG_LANES note); skipping
+                # boundaries trades permute traffic for staler coherence
+                st2 = jax.lax.cond(g % sort_every == 0, do_sort,
+                                   lambda s: s, st2)
+            else:
+                st2 = do_sort(st2)
         return g + 1, st2
 
     _, st = jax.lax.while_loop(
@@ -937,7 +968,8 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                 spp=spp, max_depth=max_depth, rows=statics["rows"],
                 tile_rows=tr, statics=persist_statics_tuple(statics),
                 gate_texels=False,
-                persist_iters=persist_plain_iters(spp), sort_rays=True)
+                persist_iters=persist_plain_iters(spp), sort_rays=True,
+                sort_every=persist_sort_every(persist_plain_iters(spp)))
             return accum[_unswizzle_index(width, height)].reshape(
                 height, width, 3)
         return render_pass_megakernel(
@@ -977,7 +1009,9 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
                            else PERSIST_SPARSE_ITERS if gate
                            else PERSIST_DENSE_ITERS),
             dma_texels=gate and DMA_TEXELS_SPARSE,
-            dma_thresh=DMA_THRESH, sort_rays=sort)
+            dma_thresh=DMA_THRESH, sort_rays=sort,
+            sort_every=persist_sort_every(
+                PERSIST_SORT_ITERS if sort else 1))
         return accum[_unswizzle_index(width, height)].reshape(
             height, width, 3)
     if mis:

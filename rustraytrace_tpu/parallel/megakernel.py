@@ -268,6 +268,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                         PERSIST_SPARSE_ITERS,
                                         _wavefront_pass_persist,
                                         persist_plain_iters,
+                                        persist_sort_every,
                                         persist_statics_tuple,
                                         ray_sort_heuristic,
                                         slot_lane_count,
@@ -312,7 +313,8 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                 tile_rows=tile_rows, statics=p_statics,
                 gate_texels=gate_texels, persist_iters=persist_iters,
                 dma_texels=gate_texels and DMA_TEXELS_SPARSE,
-                dma_thresh=DMA_THRESH, sort_rays=sort_rays)
+                dma_thresh=DMA_THRESH, sort_rays=sort_rays,
+                sort_every=persist_sort_every(persist_iters))
             return acc[unswz].reshape(height, width, 3)
 
         return _make_wiring(pass_fn, mesh, jit=True)

@@ -23,6 +23,12 @@ import numpy as np
 
 
 def fence(x):
+    # scalar-slice fence: np.asarray of the WHOLE result measures the
+    # tunnel's device->host transfer (~10 MB/s!), not the computation —
+    # a 72 MB state fetch made the first version of this bench read
+    # "2.4 s" for a 17 ms sort
+    while hasattr(x, "ndim") and x.ndim > 0:
+        x = x[0]
     return np.asarray(x)
 
 

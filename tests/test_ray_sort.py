@@ -152,10 +152,18 @@ def test_segmented_argsort_matches_global_per_segment():
 def test_sort_seg_divisor():
     import rustraytrace_tpu.ops.pallas_wavefront as wf
 
-    # flagship 1200x675: 6688 rows -> largest divisor <= 2^17 lanes
-    R = 6688 * 128
-    seg = wf._sort_seg(R)
-    assert R % seg == 0 and seg <= wf.SORT_SEG_LANES
-    assert seg % 128 == 0
-    # small R: one segment
-    assert wf._sort_seg(1024) == 1024
+    R = 6688 * 128  # flagship 1200x675
+    # default is GLOBAL (SORT_SEG_LANES = 0: the round-5 decomposition
+    # found the permute gather, not the argsort, is the cost — and
+    # segment confinement costs coherence)
+    assert wf.SORT_SEG_LANES == 0
+    assert wf._sort_seg(R) == R
+    # with an explicit target: largest divisor <= target, row-aligned
+    old = wf.SORT_SEG_LANES
+    try:
+        wf.SORT_SEG_LANES = 1 << 17
+        seg = wf._sort_seg(R)
+        assert R % seg == 0 and seg <= 1 << 17 and seg % 128 == 0
+        assert wf._sort_seg(1024) == 1024
+    finally:
+        wf.SORT_SEG_LANES = old
