@@ -579,7 +579,7 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                  persist_iters: int = 0, dma_texels: bool = False,
                  dma_meta: tuple = (), dma_thresh: int = 16,
                  n_ssc_static: int = 0, n_qclusters: int = 0,
-                 sorted_lanes: bool = False):
+                 sorted_lanes: bool = False, tile_bounds: bool = False):
     """Build either the monolithic megakernel (``segment=False``: in-kernel
     camera rays + spp loop + whole bounce loop) or the SEGMENT kernel
     (``segment=True``: ONE bounce over carried ray-state refs — the wavefront
@@ -621,6 +621,10 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
              bcls_ref, batab_ref, ltab_ref, mtab_ref,
              ptab_ref, vtab_ref, atab_ref, cam_ref, seed_ref, bg_ref,
              *rest) = refs
+            if tile_bounds:
+                # per-TILE launch bound (round-5 redistribution spike):
+                # the driver hands each tile its own iteration budget
+                tb_ref, *rest = rest
             if dma_texels:
                 (img_ref, st_ref, sto_ref, pend_ref,
                  tex_scratch, tex_sem) = rest
@@ -1892,7 +1896,9 @@ def _make_kernel(n_spheres: int, n_quads: int, n_clusters: int, moving: bool,
                     work = (c[23] == 0.0) & work  # frozen lanes can't run
                 ok = jnp.max(jnp.where(work, 1.0, 0.0)) > 0.0
                 if persist_iters:
-                    ok = ok & (c[-1] < persist_iters)
+                    bound = (tb_ref[pl.program_id(0)] if tile_bounds
+                             else persist_iters)
+                    ok = ok & (c[-1] < bound)
                 return ok
 
             def pbody(c):

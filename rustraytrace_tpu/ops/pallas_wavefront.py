@@ -115,6 +115,20 @@ def persist_sort_every(persist_iters: int) -> int:
     boundary otherwise."""
     return 4 if persist_iters <= 8 else 1
 
+
+def persist_adaptive_bounds(persist_iters: int) -> tuple:
+    """Per-TILE launch-bound routing (round-5 redistribution spike,
+    scripts/spike_tile_bounds.py).  On the short-bound image route
+    (book2_final), capping DECOHERED tiles at half the uniform bound —
+    they return to the between-launch sort sooner while tight tiles keep
+    marching — measures 11.84 vs 11.46 Mpaths/s uniform (+3.3%,
+    reproducible; flat across rel thresholds .15/.25/.4; short=2 and
+    long=16 variants lose; sort_every=4 remains essential).  Plain
+    long-bound scenes LOSE with the same recipe (flagship 64.2 -> 60.9,
+    field10k 12.7 -> 12.1: their launches are few and the early returns
+    just serialize extra launches), so they keep uniform bounds."""
+    return (4, 8, 0.25) if persist_iters <= 8 else ()
+
 # In-kernel serial texel DMA for image-SPARSE scenes: tile-bounces with
 # <= DMA_THRESH image winners resolve them in-kernel (polynomial sphere UV +
 # an (8,128) HBM block DMA per winner); denser tiles keep the freeze
@@ -363,7 +377,7 @@ def persist_statics_tuple(statics: dict) -> tuple:
 )
 def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
                  batab, ltab, mtab, ptab, vtab, atab, bg, cam_u, img_dma,
-                 st, seed, *,
+                 st, seed, tile_bounds=None, *,
                  n_quads: int, n_clusters: int, n_sclusters: int,
                  moving: bool, max_depth: int, sky_bg: bool, rows: int,
                  tile_rows: int, has_checker: bool, n_media: int,
@@ -414,7 +428,7 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
         persist_iters=persist_iters, dma_texels=dma_texels,
         dma_meta=dma_meta, dma_thresh=dma_thresh,
         n_ssc_static=n_ssc_static, n_qclusters=n_qclusters,
-        sorted_lanes=sorted_lanes)
+        sorted_lanes=sorted_lanes, tile_bounds=tile_bounds is not None)
     in_specs = [
         smem(*tab.shape),
         smem(qtab.shape[0], Q_COLS),
@@ -437,6 +451,9 @@ def _persist_raw(tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls,
     ]
     args = [tab, qtab, clb, cls, sclb, scls, btab, bclb, bcls, batab,
             ltab, mtab, ptab, vtab, atab, cam_u, seed, bg]
+    if tile_bounds is not None:
+        in_specs.append(smem(tile_bounds.shape[0]))
+        args.append(tile_bounds)
     scratch_shapes = []
     if dma_texels:
         # the flat texel table stays in HBM (ANY); the kernel DMAs (8, 128)
@@ -613,7 +630,8 @@ def _segmented_argsort(key: jnp.ndarray, R: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=("spp", "max_depth", "rows", "tile_rows", "statics",
                      "gate_texels", "persist_iters", "dma_texels",
-                     "dma_thresh", "sort_rays", "sort_key", "sort_every"),
+                     "dma_thresh", "sort_rays", "sort_key", "sort_every",
+                     "adaptive_bounds"),
 )
 def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             *, spp: int, max_depth: int, rows: int,
@@ -624,7 +642,8 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                             dma_thresh: int = 16,
                             sort_rays: bool = False,
                             sort_key: str = "pos_oct",
-                            sort_every: int = 1):
+                            sort_every: int = 1,
+                            adaptive_bounds: tuple = ()):
     """Image-scene render pass via the PERSIST kernel: whole samples run
     in-kernel (camera respawn included); a launch returns only when every
     lane has finished its ``spp`` samples or sits FROZEN on an image-texture
@@ -664,20 +683,47 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
             [st0, jnp.arange(R, dtype=jnp.int32).astype(_F32).reshape(
                 1, rows, TILE_LANES)], axis=0)
     max_launches = spp * max_depth + 2  # 1 freeze/bounce worst case
+    use_tb = bool(adaptive_bounds)
+    n_tiles = rows // tile_rows
+
+    def _tile_bounds_next(st2):
+        """Per-tile launch bounds for the NEXT launch (round-5
+        redistribution spike): tiles whose ACTIVE lanes span a large
+        fraction of the global active extent have decohered inside the
+        launch — give them a SHORT bound so they come back to the driver
+        (and its sort) sooner; tight tiles keep marching on a LONG one."""
+        short_b, long_b, rel = adaptive_bounds
+        act = st2[19].reshape(n_tiles, -1) > 0.0
+        big = jnp.float32(3e38)
+        ext = jnp.float32(0)
+        gext = jnp.float32(0)
+        exts = jnp.zeros((n_tiles,), jnp.float32)
+        for k in (1, 2, 3):
+            v = st2[k].reshape(n_tiles, -1)
+            mn = jnp.min(jnp.where(act, v, big), axis=1)
+            mx = jnp.max(jnp.where(act, v, -big), axis=1)
+            has = jnp.any(act, axis=1)
+            exts = exts + jnp.where(has, mx - mn, 0.0)
+            gext = gext + (jnp.max(jnp.where(act, v, -big))
+                           - jnp.min(jnp.where(act, v, big)))
+        deco = exts > rel * jnp.maximum(gext, jnp.float32(1e-20))
+        return jnp.where(deco, jnp.int32(short_b),
+                         jnp.int32(long_b))
 
     def cond(c):
-        g, st = c
+        g, st = c[0], c[1]
         work = (st[19] > 0.0) | (st[15] < float(spp))
         return (g < max_launches) & (jnp.max(
             jnp.where(work, 1.0, 0.0)) > 0.0)
 
     def body(c):
-        g, st = c
+        g, st = c[0], c[1]
         seed = jnp.stack(
             [jax.lax.bitwise_xor(seed_base, g * _GOLDEN), sample_offset]
         ).astype(jnp.int32)
         st2, pend = _persist_raw(
-            *seg_args, st, seed, rows=rows, tile_rows=tile_rows,
+            *seg_args, st, seed, c[2] if use_tb else None,
+            rows=rows, tile_rows=tile_rows,
             max_depth=max_depth, persist_iters=persist_iters,
             dma_texels=dma_texels, dma_thresh=dma_thresh,
             sorted_lanes=sort_rays, **stat)
@@ -712,10 +758,16 @@ def _wavefront_pass_persist(scene: Scene, arrays: dict, key, sample_offset,
                                    lambda s: s, st2)
             else:
                 st2 = do_sort(st2)
+        if use_tb:
+            return g + 1, st2, _tile_bounds_next(st2)
         return g + 1, st2
 
-    _, st = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), st0))
+    init = (jnp.asarray(0, jnp.int32), st0)
+    if use_tb:
+        init = init + (jnp.full((n_tiles,), adaptive_bounds[1],
+                                jnp.int32),)
+    out = jax.lax.while_loop(cond, body, init)
+    st = out[1]
     sums = st[16:19].reshape(3, R)
     if sort_rays:
         # lanes are permuted: restore slot order via the INVERSE
@@ -1011,7 +1063,9 @@ def render_pass_wavefront(scene: Scene, cam, key, *, width: int, height: int,
             dma_texels=gate and DMA_TEXELS_SPARSE,
             dma_thresh=DMA_THRESH, sort_rays=sort,
             sort_every=persist_sort_every(
-                PERSIST_SORT_ITERS if sort else 1))
+                PERSIST_SORT_ITERS if sort else 1),
+            adaptive_bounds=(persist_adaptive_bounds(PERSIST_SORT_ITERS)
+                             if sort else ()))
         return accum[_unswizzle_index(width, height)].reshape(
             height, width, 3)
     if mis:

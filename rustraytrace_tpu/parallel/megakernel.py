@@ -267,6 +267,7 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                                         PERSIST_SORT_ITERS,
                                         PERSIST_SPARSE_ITERS,
                                         _wavefront_pass_persist,
+                                        persist_adaptive_bounds,
                                         persist_plain_iters,
                                         persist_sort_every,
                                         persist_statics_tuple,
@@ -314,7 +315,9 @@ def render_pass_wavefront_sharded(scene: Scene, cfg_cam, key, *, width: int,
                 gate_texels=gate_texels, persist_iters=persist_iters,
                 dma_texels=gate_texels and DMA_TEXELS_SPARSE,
                 dma_thresh=DMA_THRESH, sort_rays=sort_rays,
-                sort_every=persist_sort_every(persist_iters))
+                sort_every=persist_sort_every(persist_iters),
+                adaptive_bounds=(persist_adaptive_bounds(persist_iters)
+                                 if sort_rays else ()))
             return acc[unswz].reshape(height, width, 3)
 
         return _make_wiring(pass_fn, mesh, jit=True)
