@@ -111,9 +111,12 @@ def persist_sort_every(persist_iters: int) -> int:
     final @64spp sort_every 1/2/4/8/16 = 10.1/11.2/11.5/11.4/11.0
     Mpaths/s (+14% at 4); plain scenes prefer every boundary (flagship
     69.8/70.2/66.1, bouncing 43.9/43.2/42.6, field10k 12.7/12.5/11.8 at
-    1/2/4).  Route: every 4th boundary for short-bound launches, every
-    boundary otherwise."""
-    return 4 if persist_iters <= 8 else 1
+    1/2/4).  Route: sparse cadence for short-bound launches (the exact
+    value co-tuned WITH the per-tile adaptive bounds that ride the same
+    route: se 3/4/6/8/12/16/32 = 11.51/11.84/12.06/12.11/11.82/11.84/
+    11.31 Mpaths/s under adaptive (4,8,.25) — spike_tile_bounds.py),
+    every boundary otherwise."""
+    return 8 if persist_iters <= 8 else 1
 
 
 def persist_adaptive_bounds(persist_iters: int) -> tuple:
