@@ -17,6 +17,15 @@ Gradient semantics (SURVEY.md §7 "unbiased differentiability"):
 
 ``fit`` runs Adam over any named subset of Scene arrays against a target
 image — the "recover sphere centers/albedos/IOR from a target" benchmark.
+
+Round-5 architecture: the production loss+grad is the TPU-safe
+two-program split (:func:`value_and_grad_loss` — the remote compiler
+SIGILLs on fused value_and_grad programs, see there), and the
+differentiable estimator tent-SPLATS each sample onto its 2x2 pixel
+neighborhood (the warped-area boundary term is per-pixel-exact only
+under a partition-of-unity filter; ops/warp.py's pixel-filter note).
+``image_loss``/``render_mean`` + ``jax.grad`` remain the fused spelling
+for CPU tests and the multichip dryrun.
 """
 
 from __future__ import annotations

@@ -537,20 +537,19 @@ def _persist_sort_perm(st, spp, R, key_mode: str = "pos_oct"):
     Ties (same cell+octant) keep slot order via stable argsort, so the
     permutation is deterministic.
 
-    COST (round 5): a single global ``argsort`` is super-linear on TPU
-    (measured 17/75/276 ms at 0.86/2.1/8.4 M lanes) and at ~24 launches
-    per flagship bench pass the sort was ~12% of the whole render.  The
-    permutation is therefore SEGMENTED (``_sort_segments``): keys are
-    argsorted in independent fixed-size segments (batched sort along the
-    minor axis — linear in R for a fixed segment size) and lanes never
-    leave their segment.  Respawns are pixel-coherent per segment anyway
-    (segments inherit the swizzled slot layout), the in-segment Morton
-    grouping restores the tile coherence the cull needs, and because
-    slots stay inside their segment the final slot-order RESTORE is the
-    same batched local argsort.  The only loss vs a global sort is
-    cross-segment pooling of finished lanes; the end-to-end A/B
-    (scripts/bench_sort_seg.py) measured it within noise while the sort
-    cost itself dropped ~4x at 856k lanes."""
+    COST (round 5, scripts/bench_sort_seg.py): the round-4 "argsort is
+    super-linear" attribution was WRONG — with scalar-slice fences the
+    argsort measures near-flat (28/29/44 ms at 0.86/2.1/8.4 M keys) and
+    the dominant, truly linear cost is the 21-row PERMUTE gather
+    (32/95/293 ms, ~4.8 GB/s random-access bound, identical under every
+    layout tried).  A SEGMENTED variant (``_segmented_argsort``:
+    batched per-segment sorts, lanes confined to their segment, restore
+    = the same local argsort) therefore saves nothing on cost and loses
+    ~3% coherence (flagship global 69.5-69.7 M vs seg2^17 67.2-67.4); it
+    ships off by default (SORT_SEG_LANES=0; RTT_SORT_SEG for
+    experiments).  The levers that DO pay ride elsewhere: sort CADENCE
+    (persist_sort_every) and per-tile adaptive launch bounds
+    (persist_adaptive_bounds)."""
     mid = st[19].reshape(R)
     done = st[15].reshape(R)
     slot = st[20].reshape(R).astype(jnp.int32)

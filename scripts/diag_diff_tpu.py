@@ -116,8 +116,8 @@ def main() -> int:
         _orig = warp_mod.warped_primary_rays
 
         def _sg_det(*a, **k):
-            o, d, t, det = _orig(*a, **k)
-            return o, d, t, jax.lax.stop_gradient(det)
+            o, d, t, det, u_w = _orig(*a, **k)
+            return o, d, t, jax.lax.stop_gradient(det), u_w
 
         warp_mod.warped_primary_rays = _sg_det
 
