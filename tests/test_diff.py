@@ -303,3 +303,29 @@ def test_value_and_grad_loss_matches_fused_vag(mesh):
     for k in g_s:
         np.testing.assert_allclose(np.asarray(g_s[k]), np.asarray(g_f[k]),
                                    rtol=2e-4, atol=1e-7)
+
+
+def test_value_and_grad_loss_box_pair_matches_fused(mesh):
+    """warp_primary=False: the split path pairs a BOX forward with the
+    box contraction — must still equal the fused interior-only vag."""
+    from rustraytrace_tpu.diff import extract_params, value_and_grad_loss
+
+    scene = _lambertian_scene()
+    cam = derive_camera(CFG)
+    key = jax.random.key(6)
+    target = jnp.zeros((12, 24, 3), jnp.float32)
+    params = extract_params(scene, ["tex_color1"])
+
+    loss_s, g_s = value_and_grad_loss(scene, params, target, cam, key,
+                                      mesh=mesh, warp_primary=False, **KW)
+
+    def fused(p):
+        img = render_mean(apply_params(scene, p), cam, key, mesh=mesh,
+                          warp_primary=False, **KW)
+        return jnp.mean((img - target) ** 2)
+
+    loss_f, g_f = jax.value_and_grad(fused)(params)
+    np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s["tex_color1"]),
+                               np.asarray(g_f["tex_color1"]),
+                               rtol=2e-4, atol=1e-7)
