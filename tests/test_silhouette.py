@@ -218,3 +218,37 @@ def test_secondary_silhouette_residual_bias_quantified():
     # the occluder couples to the image ONLY through the shadow boundary,
     # so interior AD carries exactly none of it)
     assert abs(ad) < 0.5 * abs(fd), (ad, fd)
+
+
+def test_splat_energy_conserved_flat_background():
+    """Partition-of-unity + border clamping conserve energy EXACTLY at
+    the image level: on a flat-background scene every sample carries the
+    same radiance, and since the four splat weights sum to 1 and
+    out-of-image weights clamp back inside, the IMAGE MEAN equals the
+    background exactly per realization (any leak at borders would show
+    up as a deficit).  Per-pixel values fluctuate around it — the
+    unnormalized splat estimator is unbiased with per-pixel WEIGHT noise
+    (a pixel's realized weight sum varies around spp), which is the
+    price of the partition-of-unity filter; pin a loose per-pixel band
+    too so a gross per-pixel bug cannot hide behind the exact mean."""
+    from rustraytrace_tpu import RenderConfig, SceneBuilder
+
+    b = SceneBuilder()
+    # one sphere far behind the camera: scene non-empty, never hit
+    b.add_sphere((0.0, 0.0, 50.0), 0.5, b.lambertian((0.5, 0.5, 0.5)))
+    scene = b.build()
+    cfg = RenderConfig(aspect_ratio=1.0, image_width=16,
+                       samples_per_pixel=8, max_depth=3, vfov=40.0,
+                       lookfrom=(0, 0, 0), lookat=(0, 0, -1),
+                       background=(0.3, 0.5, 0.7), focus_dist=1.0)
+    cam = derive_camera(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    for warp in (True, "tent"):
+        img = np.asarray(render_mean(
+            scene, cam, jax.random.key(2), width=16, height=16, spp=8,
+            max_depth=3, mesh=mesh, chunk=256, warp_primary=warp))
+        np.testing.assert_allclose(
+            img.mean(axis=(0, 1)), [0.3, 0.5, 0.7], rtol=1e-6)
+        ratio = img / np.asarray([0.3, 0.5, 0.7])
+        assert ratio.min() > 0.5 and ratio.max() < 1.6, (
+            ratio.min(), ratio.max())
