@@ -181,13 +181,14 @@ def main() -> int:
 
         if flags & {"xlawarp", "contract", "contractgrad"}:
             # hand-rolled single-device pass: scan over samples (remat) of a
-            # scan over chunks of trace_rays(warp_primary=True).
+            # scan over chunks of warped rays (trace_rays_diff post-round-5;
+            # the original bisect ran pre-splat warped trace_rays).
             # xlawarp: accumulate the [n,3] image, MSE loss (tests whether
             #   shard_map is a crash ingredient).
             # contract: contract each chunk against a ct slice immediately —
             #   the image buffer never materializes, scalar scan carry
             #   (tests the "kept forward accumulation" crash ingredient).
-            from rustraytrace_tpu.render import trace_rays
+            from rustraytrace_tpu.render import trace_rays_diff
 
             h = cfg.image_height
             n_pix = width * h
@@ -208,9 +209,9 @@ def main() -> int:
                 def chunk_body(_, args):
                     gc_, px_, py_ = args
                     kc = jax.random.fold_in(jax.random.fold_in(key, s), gc_)
-                    rad = trace_rays(sc, cam, kc, s, px_, py_,
-                                     max_depth=depth, integrator=integ,
-                                     backend="xla", warp_primary=True)
+                    rad, _uw = trace_rays_diff(
+                        sc, cam, kc, s, px_, py_, max_depth=depth,
+                        integrator=integ, warp=True)
                     return None, rad
 
                 _, rads = jax.lax.scan(chunk_body, None,
