@@ -218,10 +218,11 @@ def texel_gate_heuristic(scene: Scene) -> bool:
     return active_primitive_count(scene) > 8 * max(n_img, 1)
 
 
-# Sorting pays a per-launch argsort+permute whose cost grows
-# super-linearly while the launch's path work only grows linearly in lane
-# count — AND huge images get tiny per-pass spp from the ray-budget pass
-# folding, so each launch carries less work to amortize against.
+# Sorting pays a per-launch argsort+permute — dominated by the 21-row
+# permute GATHER, linear in lane count (the round-4 "super-linear argsort"
+# attribution was corrected round 5: the argsort is near-flat) — AND huge
+# images get tiny per-pass spp from the ray-budget pass folding, so each
+# launch carries less work to amortize against.
 # Measured (v5e): sort+permute of 21-row state = 17 ms at 856k lanes
 # (flagship 1200x675; nets +15%), 75 ms at 2.1M, 276 ms at 8.4M lanes —
 # where BASELINE config 5 (4K flagship, 7 spp/pass) regressed 58 -> 21

@@ -102,9 +102,9 @@ def test_ray_sort_heuristic_env_override(monkeypatch):
     assert not ray_sort_heuristic(scene)
     scene_f, _, _ = models.book2_final_scene()
     assert ray_sort_heuristic(scene_f)
-    # huge framebuffers opt out: the per-launch argsort grows super-linearly
-    # while per-pass work shrinks (BASELINE config 5 regressed 58 -> 21
-    # Mpaths/s before the cap)
+    # huge framebuffers opt out: the per-launch permute gather is linear in
+    # lanes (~0.3 s at 8.4M) while per-pass work shrinks (BASELINE config 5
+    # regressed 58 -> 21 Mpaths/s before the cap)
     assert slot_lane_count(1200, 675) < RAY_SORT_MAX_LANES
     assert ray_sort_heuristic(scene_f, slot_lane_count(1200, 675))
     assert slot_lane_count(3840, 2160) > RAY_SORT_MAX_LANES
