@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--device", default="auto",
                     choices=("auto", "cpu", "tpu"),
                     help="auto (default: TPU when present), cpu, or tpu")
+    ap.add_argument("--forward", default="trace",
+                    choices=("trace", "kernel"),
+                    help="loss/cotangent forward per step: 'trace' (exact "
+                         "split) or 'kernel' (fast Pallas forward, "
+                         "decorrelated cotangent — diff.value_and_grad_loss)")
     args = ap.parse_args()
 
     true_albedo = (0.75, 0.25, 0.15)
@@ -137,7 +142,7 @@ def main():
         wrong, ["sph_center", "tex_color1"], target, cfg, steps=args.steps,
         mesh=mesh, spp=args.spp, chunk=4096, progress=progress,
         optimizer=opt, checkpoint_dir=args.checkpoint_dir,
-        resume=args.resume,
+        resume=args.resume, forward=args.forward,
     )
     loss1 = float(image_loss(fitted, target, cam, jax.random.key(1), **kw))
 

@@ -113,7 +113,8 @@ def value_and_grad_loss(scene: Scene, params: Dict[str, jnp.ndarray],
                         target: jnp.ndarray, cam: CameraParams,
                         key: jax.Array, *, width: int, height: int, spp: int,
                         max_depth: int, mesh: Mesh, integrator: str = "path",
-                        chunk: int = 65536, warp_primary: bool = True
+                        chunk: int = 65536, warp_primary: bool = True,
+                        forward: str = "trace",
                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Exact ``(image_loss, d image_loss/d params)`` — the TPU-safe shape.
 
@@ -137,15 +138,40 @@ def value_and_grad_loss(scene: Scene, params: Dict[str, jnp.ndarray],
     The extra forward costs ~30-40% of a step; fused vag is ~2.5x a
     forward, so the split is ~1.4x a (hypothetical) fused TPU step — and
     ~3.5x faster than the round-4 CPU-only gating it replaces.
+
+    ``forward="kernel"`` (round 5) goes further: the loss/cotangent forward
+    runs on the FAST non-differentiable render path instead
+    (:func:`rustraytrace_tpu.render.render_pass`, auto backend — the Pallas
+    kernels on TPU, 40-60 M paths/s vs the ~1 M XLA trace), erasing the
+    forward's share of the step.  The estimator is the same radiance mean
+    but with an INDEPENDENT sample stream (the kernels' on-core PRNG) and
+    the box pixel filter instead of the grad program's tent splat, so the
+    cotangent is evaluated on an i.i.d. estimate of the (half-pixel-blur
+    different) image: the stochastic gradient stays a consistent descent
+    direction for the MSE — decorrelating forward and backward even drops
+    the correlation term E[2(Î−T)·dÎ] − 2(E Î − T)·E[dÎ] = 2·Cov(Î, dÎ)/N
+    that the correlated estimator carries — but it is no longer the exact
+    fused-vag gradient; use the default for FD validation and tests
+    (single-chip forward; the grad program stays sharded).
     """
     total = spp_traced(spp, mesh)
     scene_p = apply_params(scene, params)
-    # "tent": same tent pixel filter (and therefore bit-identical sample
-    # values) as the warped grad program, without the warp machinery
-    acc = render_pass_sharded(
-        scene_p, cam, key, width=width, height=height, spp=spp,
-        max_depth=max_depth, mesh=mesh, integrator=integrator, chunk=chunk,
-        remat=True, warp_primary="tent" if warp_primary else False)
+    if forward == "kernel":
+        from .render import render_pass, resolve_backend
+
+        acc = render_pass(
+            scene_p, cam, key, width=width, height=height, spp=total,
+            max_depth=max_depth, integrator=integrator,
+            chunk=min(chunk, width * height),
+            backend=resolve_backend(scene_p, integrator))
+    else:
+        # "tent": same tent pixel filter (and therefore bit-identical sample
+        # values) as the warped grad program, without the warp machinery
+        acc = render_pass_sharded(
+            scene_p, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, mesh=mesh, integrator=integrator,
+            chunk=chunk, remat=True,
+            warp_primary="tent" if warp_primary else False)
     loss, ct = _mse_and_ct(acc / total, jnp.asarray(target, jnp.float32),
                            float(total))
     grads = _contract_grad(
@@ -161,7 +187,7 @@ def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
         spp: int = 4, chunk: int = 65536, progress=None,
         optimizer: Optional[optax.GradientTransformation] = None,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
-        resume: bool = False,
+        resume: bool = False, forward: str = "trace",
         ) -> Tuple[Scene, list]:
     """Gradient-descent recovery of scene parameters from a target image.
 
@@ -172,6 +198,11 @@ def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
     state, RNG key) every ``checkpoint_every`` steps; ``resume=True``
     restarts a killed run from it mid-optimization (the train-state analog
     of the renderer's pass-boundary .npz accumulation checkpoints).
+
+    ``forward="kernel"`` routes each step's loss/cotangent forward through
+    the fast non-differentiable render path (see
+    :func:`value_and_grad_loss` — decorrelated but consistent gradients,
+    cheaper steps on TPU).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -197,7 +228,7 @@ def fit(scene: Scene, param_names: Sequence[str], target: jnp.ndarray,
 
     def train_step(params, opt_state, key):
         loss, grads = value_and_grad_loss(
-            scene, params, target, cam, key, **render_kw)
+            scene, params, target, cam, key, forward=forward, **render_kw)
         params, opt_state = update_step(grads, opt_state, params)
         return params, opt_state, loss
 

@@ -329,3 +329,41 @@ def test_value_and_grad_loss_box_pair_matches_fused(mesh):
     np.testing.assert_allclose(np.asarray(g_s["tex_color1"]),
                                np.asarray(g_f["tex_color1"]),
                                rtol=2e-4, atol=1e-7)
+
+
+def test_value_and_grad_loss_kernel_forward(mesh):
+    """forward="kernel": the loss/cotangent forward runs on the fast
+    non-differentiable render path (here the sphere_kernel hybrid in
+    interpret mode — resolve_backend's CPU route) with an independent
+    stream and a box filter, while the gradient contraction program is
+    unchanged.  The result is deliberately NOT the exact fused gradient;
+    what must hold is that the decorrelated cotangent leaves the gradient a
+    consistent descent direction: finite, same scale, high cosine
+    similarity against the exact split at matched spp."""
+    from rustraytrace_tpu.diff import extract_params, value_and_grad_loss
+
+    scene = _lambertian_scene()
+    cam = derive_camera(CFG)
+    key = jax.random.key(5)
+    kw = dict(KW, spp=64)
+    target = render_mean(scene, cam, jax.random.key(9), mesh=mesh, **kw)
+
+    wrong = _lambertian_scene(albedo=(0.3, 0.6, 0.4), center=(0.1, 0.05, -1.1))
+    params = extract_params(wrong, ["sph_center", "tex_color1"])
+
+    loss_k, g_k = value_and_grad_loss(wrong, params, target, cam, key,
+                                      mesh=mesh, forward="kernel", **kw)
+    loss_t, g_t = value_and_grad_loss(wrong, params, target, cam, key,
+                                      mesh=mesh, **kw)
+
+    assert np.isfinite(float(loss_k))
+    # same objective, different (independent) 64-sample estimate + box-vs-
+    # tent filter: the loss value agrees loosely
+    np.testing.assert_allclose(float(loss_k), float(loss_t), rtol=0.25)
+    for k in g_k:
+        a, b = np.asarray(g_k[k]).ravel(), np.asarray(g_t[k]).ravel()
+        assert np.all(np.isfinite(a))
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        assert cos > 0.9, (k, cos)
+        ratio = np.linalg.norm(a) / (np.linalg.norm(b) + 1e-30)
+        assert 0.5 < ratio < 2.0, (k, ratio)
