@@ -13,7 +13,7 @@ i.e. O(1e5..1e6) samples/s; anchor fixed at 1e6 so rounds are comparable).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_SPP (default 64), BENCH_WIDTH (default 1200),
+Env knobs: BENCH_SPP (default 1024), BENCH_WIDTH (default 1200),
 BENCH_DEPTH (default 50), BENCH_CHUNK (default 131072).
 """
 
@@ -54,11 +54,15 @@ def main():
     from rustraytrace_tpu.config import derive_camera
     from rustraytrace_tpu.render import render_pass, resolve_backend
 
-    # 256 spp (round 4; was 64): one ~4.7 s respawn launch — multi-second
-    # runs hold ±15% through the tunnel where ~1 s runs jitter far more
-    # (CLAUDE.md), and the per-launch overhead share drops to noise.  The
-    # metric (paths/s) is spp-invariant, so rounds stay comparable.
-    spp = int(os.environ.get("BENCH_SPP", "256"))
+    # 1024 spp (round 5; was 256, round 4; 64 before): multi-second runs
+    # hold ±15% through the tunnel where ~1 s runs jitter far more
+    # (CLAUDE.md), and the sorted persist loop keeps amortizing its
+    # per-launch sort+permute with launch length — one-process sweep spp
+    # 256/512/1024/2048 = 64.3/70.1/72.9/74.7 M paths/s (reps within 1%
+    # at >= 1024).  1024 balances the plateau against driver wall time
+    # (~11 s/rep).  The metric (paths/s) is spp-invariant, so rounds stay
+    # comparable.
+    spp = int(os.environ.get("BENCH_SPP", "1024"))
     width = int(os.environ.get("BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("BENCH_DEPTH", "50"))
     chunk = int(os.environ.get("BENCH_CHUNK", "131072"))
